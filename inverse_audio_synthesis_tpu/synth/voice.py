@@ -1,0 +1,252 @@
+"""The Voice synthesizer: 78 normalized parameters → batched 4 s audio, as one pure
+jittable function.
+
+This is the TPU-native replacement for the torchsynth ``Voice`` the reference drives
+in every workload (reference: vicreg_audio_params.py:86-94,114;
+audio_to_params.py:196-203,215,240-257; evaluate_audio_representations.py:91-108).
+Architecture (torchsynth-1.0 Voice patch, reconstructed — torchsynth is not
+installable in this environment):
+
+    keyboard (midi_f0, duration)
+    ├── adsr_1, adsr_2                         — modulation envelopes
+    ├── lfo_1, lfo_2                           — rate-modulated by lfo_{1,2}_rate_adsr,
+    │                                            amplitude-enveloped by lfo_{1,2}_amp_adsr
+    ├── mod_matrix (4 in × 5 out)              — routes {adsr_1, adsr_2, lfo_1, lfo_2} to
+    │                                            {vco_1_pitch, vco_1_amp, vco_2_pitch,
+    │                                             vco_2_amp, noise_amp}
+    ├── vco_1 (sine), vco_2 (square↔saw), noise
+    └── vca + audio mixer (3 channels)         → [B, 176400] @ 44.1 kHz
+
+Parameter count: 2 + 6·5 (ADSRs) + 2·8 (LFOs) + 20 (mod matrix) + 3 + 4 + 3 = 78,
+matching cfg.nparams (reference: conf/config.yaml:27). Parameter ordering matches
+torchsynth's ``voice.get_parameters()`` registration order, which the downstream task
+relies on to write predicted parameters back (reference: audio_to_params.py:240-246).
+
+Design stance (SURVEY.md §7): instead of a stateful nn.Module mutated via
+``set_parameter_0to1``, the synth is ``params01 = sample(key)`` + ``audio =
+render(params01)`` — both pure, so the downstream resynthesis path is simply
+``render(predicted_params)`` inside the same jitted program.
+
+Known deviations from torchsynth (documented, unavoidable or intentional):
+- PRNG streams differ (JAX threefry vs torch); determinism contract preserved:
+  identical batch_num → identical (params, audio).
+- ``is_train`` uses a deterministic per-sample 90/10 interleave; the reference never
+  consumes this output.
+"""
+
+from __future__ import annotations
+
+from collections import OrderedDict
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from inverse_audio_synthesis_tpu.synth import modules
+from inverse_audio_synthesis_tpu.synth.config import SynthConfig
+from inverse_audio_synthesis_tpu.synth.parameter import ParamSpec, from_0to1
+
+_PI = float(np.pi)
+
+
+def _adsr_specs(module: str) -> Tuple[ParamSpec, ...]:
+    return (
+        ParamSpec(module, "attack", 0.0, 2.0, curve=0.5),
+        ParamSpec(module, "decay", 0.0, 2.0, curve=0.5),
+        ParamSpec(module, "sustain", 0.0, 1.0),
+        ParamSpec(module, "release", 0.0, 5.0, curve=0.5),
+        ParamSpec(module, "alpha", 0.1, 6.0),
+    )
+
+
+def _lfo_specs(module: str) -> Tuple[ParamSpec, ...]:
+    return (
+        ParamSpec(module, "frequency", 0.0, 20.0, curve=0.25),
+        ParamSpec(module, "mod_depth", -10.0, 20.0, curve=0.5, symmetric=True),
+        ParamSpec(module, "initial_phase", -_PI, _PI),
+        ParamSpec(module, "sin", 0.0, 1.0),
+        ParamSpec(module, "tri", 0.0, 1.0),
+        ParamSpec(module, "saw", 0.0, 1.0),
+        ParamSpec(module, "rsaw", 0.0, 1.0),
+        ParamSpec(module, "sqr", 0.0, 1.0),
+    )
+
+
+MOD_MATRIX_INPUTS = ("adsr_1", "adsr_2", "lfo_1", "lfo_2")
+MOD_MATRIX_OUTPUTS = (
+    "vco_1_pitch",
+    "vco_1_amp",
+    "vco_2_pitch",
+    "vco_2_amp",
+    "noise_amp",
+)
+
+
+def _build_voice_specs() -> Tuple[ParamSpec, ...]:
+    specs = [
+        ParamSpec("keyboard", "midi_f0", 0.0, 127.0),
+        ParamSpec("keyboard", "duration", 0.01, 4.0, curve=0.5),
+    ]
+    specs += list(_adsr_specs("adsr_1"))
+    specs += list(_adsr_specs("adsr_2"))
+    specs += list(_lfo_specs("lfo_1"))
+    specs += list(_lfo_specs("lfo_2"))
+    specs += list(_adsr_specs("lfo_1_amp_adsr"))
+    specs += list(_adsr_specs("lfo_2_amp_adsr"))
+    specs += list(_adsr_specs("lfo_1_rate_adsr"))
+    specs += list(_adsr_specs("lfo_2_rate_adsr"))
+    for inp in MOD_MATRIX_INPUTS:
+        for out in MOD_MATRIX_OUTPUTS:
+            specs.append(ParamSpec("mod_matrix", f"{inp}->{out}", 0.0, 1.0, curve=0.5))
+    specs += [
+        ParamSpec("vco_1", "tuning", -24.0, 24.0),
+        ParamSpec("vco_1", "mod_depth", -96.0, 96.0, curve=0.2, symmetric=True),
+        ParamSpec("vco_1", "initial_phase", -_PI, _PI),
+        ParamSpec("vco_2", "tuning", -24.0, 24.0),
+        ParamSpec("vco_2", "mod_depth", -96.0, 96.0, curve=0.2, symmetric=True),
+        ParamSpec("vco_2", "initial_phase", -_PI, _PI),
+        ParamSpec("vco_2", "shape", 0.0, 1.0),
+        ParamSpec("mixer", "vco_1", 0.0, 1.0),
+        ParamSpec("mixer", "vco_2", 0.0, 1.0),
+        # noise level uses a strong curve so random patches are rarely noise-dominated
+        ParamSpec("mixer", "noise", 0.0, 1.0, curve=0.025),
+    ]
+    return tuple(specs)
+
+
+VOICE_PARAM_SPECS: Tuple[ParamSpec, ...] = _build_voice_specs()
+assert len(VOICE_PARAM_SPECS) == 78
+
+_INDEX = {(s.module, s.name): i for i, s in enumerate(VOICE_PARAM_SPECS)}
+
+
+def _natural(params01: jax.Array) -> Dict[str, Dict[str, jax.Array]]:
+    """[B, 78] normalized → {module: {name: [B] natural units}}."""
+    out: Dict[str, Dict[str, jax.Array]] = {}
+    for i, spec in enumerate(VOICE_PARAM_SPECS):
+        out.setdefault(spec.module, {})[spec.name] = from_0to1(spec, params01[:, i])
+    return out
+
+
+def render_voice(params01: jax.Array, config: SynthConfig) -> jax.Array:
+    """[B, 78] normalized params → [B, buffer_size] audio. Pure; jit/vmap/grad-safe."""
+    assert params01.ndim == 2 and params01.shape[1] == len(VOICE_PARAM_SPECS)
+    cr = float(config.control_rate)
+    sr = float(config.sample_rate)
+    tc = config.control_buffer_size
+    ta = config.buffer_size
+    p = _natural(params01.astype(jnp.float32))
+
+    midi_f0 = p["keyboard"]["midi_f0"]
+    note_on = p["keyboard"]["duration"]
+
+    def env(module: str) -> jax.Array:
+        return modules.adsr_envelope(p[module], note_on, tc, cr)
+
+    lfo_1 = modules.lfo(p["lfo_1"], env("lfo_1_rate_adsr"), cr) * jnp.maximum(
+        env("lfo_1_amp_adsr"), 0.0
+    )
+    lfo_2 = modules.lfo(p["lfo_2"], env("lfo_2_rate_adsr"), cr) * jnp.maximum(
+        env("lfo_2_amp_adsr"), 0.0
+    )
+
+    mods = jnp.stack([env("adsr_1"), env("adsr_2"), lfo_1, lfo_2], axis=1)  # [B,4,Tc]
+    w = jnp.stack(
+        [
+            jnp.stack([p["mod_matrix"][f"{inp}->{out}"] for out in MOD_MATRIX_OUTPUTS], 1)
+            for inp in MOD_MATRIX_INPUTS
+        ],
+        axis=1,
+    )  # [B, 4, 5]
+    routed = modules.modulation_mixer(w, mods)  # [B, 5, Tc]
+    b = params01.shape[0]
+    routed_audio = modules.upsample_control(routed.reshape(b * 5, tc), ta).reshape(
+        b, 5, ta
+    )
+    vco_1_pitch, vco_1_amp, vco_2_pitch, vco_2_amp, noise_amp = (
+        routed_audio[:, i] for i in range(5)
+    )
+
+    vco_1 = modules.vca(
+        modules.sine_vco(p["vco_1"], midi_f0, vco_1_pitch, sr), vco_1_amp
+    )
+    vco_2 = modules.vca(
+        modules.square_saw_vco(p["vco_2"], midi_f0, vco_2_pitch, sr), vco_2_amp
+    )
+    noise_sig = modules.vca(
+        modules.noise(jax.random.PRNGKey(config.noise_seed), b, ta), noise_amp
+    )
+
+    levels = jnp.stack(
+        [p["mixer"]["vco_1"], p["mixer"]["vco_2"], p["mixer"]["noise"]], axis=1
+    )
+    return modules.audio_mixer(levels, jnp.stack([vco_1, vco_2, noise_sig], axis=1))
+
+
+def sample_voice_params(batch_num, config: SynthConfig) -> jax.Array:
+    """Deterministic per-batch-number parameter draw: [B, 78] uniform in [0, 1]."""
+    key = jax.random.fold_in(jax.random.PRNGKey(config.seed), batch_num)
+    return jax.random.uniform(
+        key, (config.batch_size, len(VOICE_PARAM_SPECS)), dtype=jnp.float32
+    )
+
+
+def is_train_split(batch_num, config: SynthConfig) -> jax.Array:
+    """Deterministic 90/10 per-sample train/test interleave ([B] bool)."""
+    idx = batch_num * config.batch_size + jnp.arange(config.batch_size)
+    return (idx % 10) < 9
+
+
+class Voice:
+    """Stateful convenience wrapper with the torchsynth call surface.
+
+    ``voice(batch_num)`` → (audio [B, Ta], params01 [B, 78], is_train [B]);
+    ``voice(None)`` after ``set_parameter_0to1``/``freeze_parameters`` resynthesizes
+    from the currently-set parameters (reference usage: audio_to_params.py:240-257).
+    The underlying computation is the pure ``sample_voice_params``/``render_voice`` —
+    prefer those inside jitted training code.
+    """
+
+    def __init__(self, synthconfig: SynthConfig):
+        self.synthconfig = synthconfig
+        self._params01 = jnp.full(
+            (synthconfig.batch_size, len(VOICE_PARAM_SPECS)), 0.5, dtype=jnp.float32
+        )
+        self._frozen = False
+        self._render = jax.jit(lambda p: render_voice(p, self.synthconfig))
+        self._sample = jax.jit(lambda n: sample_voice_params(n, self.synthconfig))
+
+    # -- torchsynth-style parameter addressing --------------------------------
+    def get_parameters(self) -> "OrderedDict[Tuple[str, str], jax.Array]":
+        return OrderedDict(
+            ((s.module, s.name), self._params01[:, i])
+            for i, s in enumerate(VOICE_PARAM_SPECS)
+        )
+
+    def set_parameter_0to1(self, module: str, name: str, value) -> None:
+        i = _INDEX[(module, name)]
+        self._params01 = self._params01.at[:, i].set(jnp.asarray(value))
+
+    def set_all_parameters_0to1(self, params01) -> None:
+        params01 = jnp.asarray(params01, dtype=jnp.float32)
+        assert params01.shape == self._params01.shape
+        self._params01 = params01
+
+    def freeze_parameters(self, keys=None) -> None:
+        self._frozen = True
+
+    def unfreeze_all_parameters(self) -> None:
+        self._frozen = False
+
+    # -- synthesis -------------------------------------------------------------
+    def __call__(
+        self, batch_num: Optional[int]
+    ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+        if batch_num is not None and not self._frozen:
+            self._params01 = self._sample(batch_num)
+            is_train = is_train_split(batch_num, self.synthconfig)
+        else:
+            is_train = jnp.ones((self.synthconfig.batch_size,), dtype=bool)
+        audio = self._render(self._params01)
+        return audio, self._params01, is_train

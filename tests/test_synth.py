@@ -1,0 +1,217 @@
+"""Voice synthesizer: spec table, determinism, DSP behavior, torchsynth API surface."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from inverse_audio_synthesis_tpu.synth import (
+    SynthConfig,
+    Voice,
+    VOICE_PARAM_SPECS,
+    from_0to1,
+    to_0to1,
+)
+from inverse_audio_synthesis_tpu.synth import modules
+from inverse_audio_synthesis_tpu.synth.voice import (
+    is_train_split,
+    render_voice,
+    sample_voice_params,
+)
+
+CFG = SynthConfig(batch_size=4, buffer_size_seconds=1.0)
+
+
+def test_spec_table():
+    assert len(VOICE_PARAM_SPECS) == 78  # reference: conf/config.yaml:27
+    names = [(s.module, s.name) for s in VOICE_PARAM_SPECS]
+    assert names[0] == ("keyboard", "midi_f0")
+    assert names[1] == ("keyboard", "duration")
+    assert names[2] == ("adsr_1", "attack")
+    assert ("mod_matrix", "adsr_1->vco_1_pitch") in names
+    assert ("mod_matrix", "lfo_2->noise_amp") in names
+    assert names[-3:] == [("mixer", "vco_1"), ("mixer", "vco_2"), ("mixer", "noise")]
+    assert len(set(names)) == 78  # unique
+
+
+def test_param_range_roundtrip():
+    x = jnp.linspace(0.01, 0.99, 23)
+    for spec in VOICE_PARAM_SPECS:
+        v = from_0to1(spec, x)
+        assert float(v.min()) >= spec.minimum - 1e-4
+        assert float(v.max()) <= spec.maximum + 1e-4
+        x2 = to_0to1(spec, v)
+        np.testing.assert_allclose(np.asarray(x2), np.asarray(x), atol=1e-5)
+
+
+def test_sample_determinism_and_batch_invariance():
+    p1 = sample_voice_params(123, CFG)
+    p2 = sample_voice_params(123, CFG)
+    p3 = sample_voice_params(124, CFG)
+    assert p1.shape == (4, 78)
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+    assert np.abs(np.asarray(p1) - np.asarray(p3)).max() > 0.01
+    assert float(p1.min()) >= 0.0 and float(p1.max()) <= 1.0
+
+
+def test_render_deterministic_and_finite():
+    p = sample_voice_params(7, CFG)
+    a1 = render_voice(p, CFG)
+    a2 = render_voice(p, CFG)
+    assert a1.shape == (4, CFG.buffer_size)
+    np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+    assert np.isfinite(np.asarray(a1)).all()
+    # mod matrix can route up to 4 unit envelopes into one amp (unnormalized, like
+    # torchsynth); with 3 mixer channels the theoretical bound is ~16
+    assert float(jnp.abs(a1).max()) < 16.0
+
+
+def test_adsr_envelope_shape():
+    cr, tc = 100.0, 400  # 4 seconds at 100 Hz control rate
+    params = {
+        "attack": jnp.array([0.5]),
+        "decay": jnp.array([0.5]),
+        "sustain": jnp.array([0.4]),
+        "release": jnp.array([1.0]),
+        "alpha": jnp.array([1.0]),
+    }
+    env = np.asarray(
+        modules.adsr_envelope(params, jnp.array([2.0]), tc, cr)
+    )[0]
+    assert env[0] == pytest.approx(0.0, abs=1e-6)
+    assert env[50] == pytest.approx(1.0, abs=0.03)  # end of attack (0.5 s)
+    assert env[100] == pytest.approx(0.4, abs=0.03)  # sustain after decay
+    assert env[190] == pytest.approx(0.4, abs=0.03)  # held at sustain
+    assert env[299] == pytest.approx(0.0, abs=0.02)  # released (2 s + 1 s)
+    assert env[399] == pytest.approx(0.0, abs=1e-6)
+
+
+def test_adsr_zero_attack_is_instant():
+    cr, tc = 100.0, 100
+    params = {
+        "attack": jnp.array([0.0]),
+        "decay": jnp.array([10.0]),
+        "sustain": jnp.array([1.0]),
+        "release": jnp.array([5.0]),
+        "alpha": jnp.array([1.0]),
+    }
+    env = np.asarray(modules.adsr_envelope(params, jnp.array([1.0]), tc, cr))[0]
+    assert env[1] == pytest.approx(1.0, abs=1e-5)
+    assert np.isfinite(env).all()
+
+
+def test_lfo_frequency():
+    cr, tc = 441.0, 4410  # 10 s
+    params = {
+        "frequency": jnp.array([2.0]),
+        "mod_depth": jnp.array([0.0]),
+        "initial_phase": jnp.array([0.0]),
+        "sin": jnp.array([1.0]),
+        "tri": jnp.array([0.0]),
+        "saw": jnp.array([0.0]),
+        "rsaw": jnp.array([0.0]),
+        "sqr": jnp.array([0.0]),
+    }
+    sig = np.asarray(modules.lfo(params, jnp.zeros((1, tc)), cr))[0]
+    assert sig.min() >= 0.0 and sig.max() <= 1.0
+    # count rising crossings of 0.5 → ~2 Hz over 10 s ⇒ ~20 cycles
+    crossings = np.sum((sig[:-1] < 0.5) & (sig[1:] >= 0.5))
+    assert 18 <= crossings <= 22
+
+
+def test_sine_vco_pitch():
+    sr, ta = 44100.0, 44100
+    params = {
+        "tuning": jnp.array([0.0]),
+        "mod_depth": jnp.array([0.0]),
+        "initial_phase": jnp.array([0.0]),
+    }
+    sig = np.asarray(
+        modules.sine_vco(params, jnp.array([69.0]), jnp.zeros((1, ta)), sr)
+    )[0]
+    spec = np.abs(np.fft.rfft(sig))
+    freq = np.fft.rfftfreq(ta, 1 / sr)[np.argmax(spec)]
+    assert freq == pytest.approx(440.0, abs=1.5)  # midi 69 = A440
+
+
+def test_square_saw_morph():
+    sr, ta = 44100.0, 4410
+    base = {
+        "tuning": jnp.array([0.0]),
+        "mod_depth": jnp.array([0.0]),
+        "initial_phase": jnp.array([0.0]),
+    }
+    sq = np.asarray(
+        modules.square_saw_vco(
+            {**base, "shape": jnp.array([0.0])}, jnp.array([60.0]), jnp.zeros((1, ta)), sr
+        )
+    )[0]
+    saw = np.asarray(
+        modules.square_saw_vco(
+            {**base, "shape": jnp.array([1.0])}, jnp.array([60.0]), jnp.zeros((1, ta)), sr
+        )
+    )[0]
+    assert np.isfinite(sq).all() and np.isfinite(saw).all()
+    # square is symmetric (odd harmonics): near-zero even-harmonic energy vs saw
+    assert np.abs(sq).max() <= 1.01
+    assert not np.allclose(sq, saw)
+
+
+def test_noise_fixed_and_batch_invariant():
+    key = jax.random.PRNGKey(13)
+    n1 = modules.noise(key, 2, 1000)
+    n2 = modules.noise(key, 4, 1000)
+    np.testing.assert_array_equal(np.asarray(n1), np.asarray(n2)[:2])
+    assert float(n1.min()) >= -1.0 and float(n1.max()) <= 1.0
+
+
+def test_upsample_linear():
+    x = jnp.array([[0.0, 1.0, 0.0]])
+    y = np.asarray(modules.upsample_control(x, 9))
+    assert y.shape == (1, 9)
+    assert y.max() <= 1.0 + 1e-6 and y.min() >= -1e-6
+
+
+def test_voice_call_surface():
+    voice = Voice(CFG)
+    audio, params, is_train = voice(42)
+    assert audio.shape == (4, CFG.buffer_size)
+    assert params.shape == (4, 78)
+    assert is_train.shape == (4,)
+    audio2, params2, _ = voice(42)
+    np.testing.assert_array_equal(np.asarray(audio), np.asarray(audio2))
+
+    # torchsynth-style write-back + resynthesis (reference: audio_to_params.py:240-257)
+    predicted = jnp.clip(params + 0.01, 0.0, 1.0)
+    for (module, name), value in zip(voice.get_parameters().keys(), predicted.T):
+        voice.set_parameter_0to1(module, name, value)
+    voice.freeze_parameters(voice.get_parameters().keys())
+    audio3, params3, _ = voice(None)
+    voice.unfreeze_all_parameters()
+    np.testing.assert_allclose(np.asarray(params3), np.asarray(predicted), atol=1e-7)
+    # resynthesis from written-back params is exactly render(predicted) (same jitted fn)
+    resynth = voice._render(predicted)
+    np.testing.assert_array_equal(np.asarray(audio3), np.asarray(resynth))
+
+
+def test_is_train_split():
+    flags = np.asarray(is_train_split(0, SynthConfig(batch_size=20)))
+    assert flags.sum() == 18  # 90/10 interleave
+    assert not flags[9] and not flags[19]
+
+
+def test_render_jit_and_grad():
+    p = sample_voice_params(3, CFG)
+    f = jax.jit(lambda q: render_voice(q, CFG))
+    a = f(p)
+    assert a.shape == (4, CFG.buffer_size)
+
+    # differentiable end-to-end (enables "backprop through the synth", which the
+    # reference only sketched in a comment — audio_to_params.py:56-174)
+    def loss(q):
+        return jnp.mean(render_voice(q, CFG) ** 2)
+
+    g = jax.grad(loss)(p)
+    assert g.shape == p.shape
+    assert np.isfinite(np.asarray(g)).all()
