@@ -1,0 +1,198 @@
+"""STFT, mel spectrogram, and multi-resolution spectral losses in pure XLA.
+
+The reference builds a torchaudio MelSpectrogram from ``cfg.mel.*``
+(reference: evaluate_audio_representations.py:110-123; config block at
+conf/config.yaml:51-61) and aspires to an auraloss multi-resolution STFT loss
+(reference: audio_to_params.py:233, evaluate_audio_representations.py:77-78). Both are
+first-class here: BASELINE.json's north star scores downstream resynthesis with the
+multi-res STFT loss.
+
+Semantics follow torchaudio defaults: hann window, center=True with reflect padding,
+power spectrogram, HTK mel scale with slaney area normalization.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def hann_window(win_length: int) -> jnp.ndarray:
+    # periodic hann (torch.hann_window default)
+    n = jnp.arange(win_length)
+    return 0.5 * (1.0 - jnp.cos(2.0 * jnp.pi * n / win_length))
+
+
+def frame_signal(x: jax.Array, frame_length: int, hop_length: int) -> jax.Array:
+    """[..., T] → [..., n_frames, frame_length] via gather (static shapes)."""
+    t = x.shape[-1]
+    n_frames = 1 + (t - frame_length) // hop_length
+    idx = (
+        jnp.arange(n_frames)[:, None] * hop_length + jnp.arange(frame_length)[None, :]
+    )
+    return x[..., idx]
+
+
+def stft(
+    x: jax.Array,
+    n_fft: int = 1024,
+    hop_length: Optional[int] = None,
+    win_length: Optional[int] = None,
+    center: bool = True,
+    pad_mode: str = "reflect",
+) -> jax.Array:
+    """Complex STFT of [..., T] → [..., n_freq, n_frames] (torch layout)."""
+    hop_length = hop_length or n_fft // 4
+    win_length = win_length or n_fft
+    window = hann_window(win_length)
+    if win_length < n_fft:
+        lpad = (n_fft - win_length) // 2
+        window = jnp.pad(window, (lpad, n_fft - win_length - lpad))
+    if center:
+        pad = n_fft // 2
+        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad, pad)], mode=pad_mode)
+    frames = frame_signal(x, n_fft, hop_length)
+    spec = jnp.fft.rfft(frames * window.astype(x.dtype), axis=-1)
+    return jnp.swapaxes(spec, -1, -2)
+
+
+def spectrogram(x: jax.Array, power: float = 2.0, **stft_kwargs) -> jax.Array:
+    mag = jnp.abs(stft(x, **stft_kwargs))
+    return mag if power == 1.0 else jnp.power(mag, power)
+
+
+def hz_to_mel(f, mel_scale: str = "htk"):
+    if mel_scale == "htk":
+        return 2595.0 * np.log10(1.0 + np.asarray(f) / 700.0)
+    # slaney
+    f = np.asarray(f, dtype=np.float64)
+    mel = 3.0 * f / 200.0
+    log_region = f >= 1000.0
+    mel = np.where(log_region, 15.0 + np.log(np.maximum(f, 1e-10) / 1000.0) / (np.log(6.4) / 27.0), mel)
+    return mel
+
+
+def mel_to_hz(m, mel_scale: str = "htk"):
+    if mel_scale == "htk":
+        return 700.0 * (10.0 ** (np.asarray(m) / 2595.0) - 1.0)
+    m = np.asarray(m, dtype=np.float64)
+    f = 200.0 * m / 3.0
+    log_region = m >= 15.0
+    f = np.where(log_region, 1000.0 * np.exp((np.log(6.4) / 27.0) * (m - 15.0)), f)
+    return f
+
+
+def mel_filterbank(
+    n_freqs: int,
+    n_mels: int,
+    sample_rate: int,
+    f_min: float = 0.0,
+    f_max: Optional[float] = None,
+    norm: Optional[str] = "slaney",
+    mel_scale: str = "htk",
+) -> np.ndarray:
+    """Triangular mel filterbank [n_freqs, n_mels] (torchaudio.functional.melscale_fbanks
+    semantics). Built on the host once; a trace-time constant."""
+    f_max = f_max or sample_rate / 2.0
+    freqs = np.linspace(0, sample_rate // 2, n_freqs)
+    mel_pts = np.linspace(
+        hz_to_mel(f_min, mel_scale), hz_to_mel(f_max, mel_scale), n_mels + 2
+    )
+    f_pts = mel_to_hz(mel_pts, mel_scale)
+    f_diff = np.diff(f_pts)  # [n_mels + 1]
+    slopes = f_pts[None, :] - freqs[:, None]  # [n_freqs, n_mels + 2]
+    down = -slopes[:, :-2] / f_diff[:-1]
+    up = slopes[:, 2:] / f_diff[1:]
+    fb = np.maximum(0.0, np.minimum(down, up))
+    if norm == "slaney":
+        fb *= (2.0 / (f_pts[2 : n_mels + 2] - f_pts[:n_mels]))[None, :]
+    return fb.astype(np.float32)
+
+
+class MelSpectrogram:
+    """torchaudio-MelSpectrogram-shaped callable: [..., T] → [..., n_mels, n_frames]."""
+
+    def __init__(
+        self,
+        sample_rate: int = 44100,
+        n_fft: int = 1024,
+        win_length: Optional[int] = None,
+        hop_length: int = 512,
+        center: bool = True,
+        pad_mode: str = "reflect",
+        power: float = 2.0,
+        norm: Optional[str] = "slaney",
+        n_mels: int = 128,
+        mel_scale: str = "htk",
+        f_min: float = 0.0,
+        f_max: Optional[float] = None,
+    ):
+        self.n_fft = n_fft
+        self.win_length = win_length or n_fft
+        self.hop_length = hop_length
+        self.center = center
+        self.pad_mode = pad_mode
+        self.power = power
+        self.fb = jnp.asarray(
+            mel_filterbank(
+                n_fft // 2 + 1, n_mels, sample_rate, f_min, f_max, norm, mel_scale
+            )
+        )
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        spec = spectrogram(
+            x,
+            power=self.power,
+            n_fft=self.n_fft,
+            hop_length=self.hop_length,
+            win_length=self.win_length,
+            center=self.center,
+            pad_mode=self.pad_mode,
+        )  # [..., n_freq, n_frames]
+        return jnp.einsum("...ft,fm->...mt", spec, self.fb.astype(spec.dtype))
+
+
+# ---------------------------------------------------------------------------
+# Spectral losses
+# ---------------------------------------------------------------------------
+
+
+def spectral_convergence_loss(mag_pred: jax.Array, mag_true: jax.Array) -> jax.Array:
+    num = jnp.sqrt(jnp.sum((mag_true - mag_pred) ** 2))
+    den = jnp.sqrt(jnp.sum(mag_true**2)) + 1e-8
+    return num / den
+
+
+def log_stft_magnitude_loss(mag_pred: jax.Array, mag_true: jax.Array) -> jax.Array:
+    return jnp.mean(
+        jnp.abs(jnp.log(jnp.maximum(mag_true, 1e-7)) - jnp.log(jnp.maximum(mag_pred, 1e-7)))
+    )
+
+
+def multi_resolution_stft_loss(
+    pred: jax.Array,
+    true: jax.Array,
+    resolutions: Sequence[Tuple[int, int, int]] = (
+        (1024, 120, 600),
+        (2048, 240, 1200),
+        (512, 50, 240),
+    ),
+) -> jax.Array:
+    """auraloss-style MR-STFT loss: mean over resolutions of
+    (spectral convergence + log-magnitude L1). resolutions = (n_fft, hop, win)."""
+    total = 0.0
+    for n_fft, hop, win in resolutions:
+        mp = jnp.abs(stft(pred, n_fft=n_fft, hop_length=hop, win_length=win))
+        mt = jnp.abs(stft(true, n_fft=n_fft, hop_length=hop, win_length=win))
+        total = total + spectral_convergence_loss(mp, mt) + log_stft_magnitude_loss(mp, mt)
+    return total / len(resolutions)
+
+
+def mel_l1_loss(mel: MelSpectrogram, pred: jax.Array, true: jax.Array) -> jax.Array:
+    """Mean |mel(pred) − mel(true)| (the reference's sketched downstream audio loss,
+    audio_to_params.py:150-153)."""
+    return jnp.mean(jnp.abs(mel(pred) - mel(true)))

@@ -1,0 +1,91 @@
+"""STFT / mel / spectral losses: numerical properties + torch parity where possible."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from inverse_audio_synthesis_tpu.ops.stft import (
+    MelSpectrogram,
+    hann_window,
+    mel_filterbank,
+    multi_resolution_stft_loss,
+    spectrogram,
+    stft,
+)
+
+
+def _sine(freq=440.0, sr=44100, t=1.0):
+    n = np.arange(int(sr * t))
+    return np.sin(2 * np.pi * freq * n / sr).astype(np.float32)
+
+
+def test_stft_peak_bin():
+    x = jnp.asarray(_sine(1000.0))[None, :]
+    spec = np.abs(np.asarray(stft(x, n_fft=2048, hop_length=512)))[0]
+    peak_bins = spec.argmax(axis=0)
+    expected = round(1000.0 / (44100 / 2048))
+    assert np.all(np.abs(peak_bins[2:-2] - expected) <= 1)
+
+
+def test_stft_parity_vs_torch():
+    torch = pytest.importorskip("torch")
+    x = np.random.RandomState(0).randn(2, 8192).astype(np.float32)
+    ours = np.asarray(stft(jnp.asarray(x), n_fft=1024, hop_length=256))
+    theirs = torch.stft(
+        torch.from_numpy(x),
+        n_fft=1024,
+        hop_length=256,
+        window=torch.hann_window(1024),
+        center=True,
+        pad_mode="reflect",
+        return_complex=True,
+    ).numpy()
+    assert ours.shape == theirs.shape
+    np.testing.assert_allclose(ours, theirs, atol=1e-3, rtol=1e-3)
+
+
+def test_hann_parity_vs_torch():
+    torch = pytest.importorskip("torch")
+    np.testing.assert_allclose(
+        np.asarray(hann_window(400)), torch.hann_window(400).numpy(), atol=1e-6
+    )
+
+
+def test_mel_shapes_and_energy():
+    mel = MelSpectrogram(sample_rate=44100, n_fft=1024, hop_length=512, n_mels=128)
+    x = jnp.asarray(np.random.RandomState(1).randn(3, 44100).astype(np.float32))
+    m = np.asarray(mel(x))
+    assert m.shape == (3, 128, 44100 // 512 + 1)
+    assert (m >= 0).all() and np.isfinite(m).all()
+    # louder signal ⇒ more mel energy
+    m2 = np.asarray(mel(2.0 * x))
+    assert m2.sum() > 3.0 * m.sum()
+
+
+def test_mel_filterbank_properties():
+    fb = mel_filterbank(513, 64, 44100, norm="slaney", mel_scale="htk")
+    assert fb.shape == (513, 64)
+    assert (fb >= 0).all()
+    # every filter has support, and each is localized (unimodal triangles)
+    assert (fb.sum(axis=0) > 0).all()
+    centers = fb.argmax(axis=0)
+    assert np.all(np.diff(centers) >= 0)  # monotone center frequencies
+
+
+def test_multi_res_stft_loss_metricity():
+    rng = np.random.RandomState(2)
+    a = jnp.asarray(rng.randn(2, 16384).astype(np.float32))
+    b = jnp.asarray(rng.randn(2, 16384).astype(np.float32))
+    zero = float(multi_resolution_stft_loss(a, a))
+    near = float(multi_resolution_stft_loss(a + 0.01 * b, a))
+    far = float(multi_resolution_stft_loss(b, a))
+    assert zero == pytest.approx(0.0, abs=1e-5)
+    assert zero < near < far
+
+
+def test_spectrogram_power():
+    x = jnp.asarray(_sine())[None, :]
+    p1 = np.asarray(spectrogram(x, power=1.0, n_fft=512, hop_length=256))
+    p2 = np.asarray(spectrogram(x, power=2.0, n_fft=512, hop_length=256))
+    np.testing.assert_allclose(p1**2, p2, rtol=1e-4, atol=1e-5)
