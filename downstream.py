@@ -1,0 +1,83 @@
+#!/usr/bin/env python3
+"""Downstream inverse-synthesis CLI (reference surface: downstream.py:20-70).
+
+Loads the pretrained VICReg checkpoint, trains the AudioRepresentationToParams head,
+then runs the test pass with resynthesis + audio logging.
+
+    python downstream.py [vicreg_checkpoint=<dir>] [audio_to_params.batch_size=...] ...
+"""
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from inverse_audio_synthesis_tpu.utils.config import load_config
+
+
+def app(cfg) -> None:
+    import jax
+
+    if cfg.get("platform"):
+        jax.config.update("jax_platforms", cfg.platform)
+
+    from inverse_audio_synthesis_tpu.parallel.mesh import create_mesh
+    from inverse_audio_synthesis_tpu.train.checkpoint import CheckpointManager
+    from inverse_audio_synthesis_tpu.train.downstream import AudioToParamsTask
+    from inverse_audio_synthesis_tpu.train.loop import Trainer
+    from inverse_audio_synthesis_tpu.train.pretrain import VicregPretrainTask
+    from inverse_audio_synthesis_tpu.train.runsetup import runsetup
+    from inverse_audio_synthesis_tpu.utils.logging import MetricsLogger
+    from inverse_audio_synthesis_tpu.utils.utils import git_sha
+
+    split = runsetup(cfg)
+    mesh = create_mesh(cfg.mesh.data, cfg.mesh.model)
+
+    # load the frozen pretrain state (reference: downstream.py:29 hardcodes
+    # "vicreg.ckpt"; here the directory is configurable)
+    run_dir = Path(cfg.get("run_dir", "runs"))
+    vicreg_dir = cfg.get("vicreg_checkpoint") or str(run_dir / "checkpoints" / "vicreg")
+    pretrain_task = VicregPretrainTask(cfg, mesh)
+    vicreg_state = pretrain_task.init_state()
+    vicreg_ckpt = CheckpointManager(vicreg_dir)
+    if vicreg_ckpt.latest_step() is not None:
+        vicreg_state = vicreg_ckpt.restore(vicreg_state)
+        print(f"loaded vicreg checkpoint step {vicreg_ckpt.latest_step()}")
+    else:
+        print(f"WARNING: no vicreg checkpoint under {vicreg_dir}; using random towers")
+
+    task = AudioToParamsTask(cfg, mesh, pretrain_task, vicreg_state)
+    state = task.init_state()
+
+    logger = MetricsLogger(
+        run_dir=str(run_dir),
+        config={"git_sha": git_sha, **cfg.to_dict()},
+        use_wandb=cfg.get("log") == "wand",
+        run_name="downstream-" + __import__("time").strftime("%Y%m%d-%H%M%S"),
+    )
+    checkpoint = CheckpointManager(
+        directory=str(run_dir / "checkpoints" / "audio_to_params"),
+        every_n_steps=cfg.audio_to_params.checkpoint_every_nbatches,
+    )
+    trainer = Trainer(
+        task,
+        split,
+        logger=logger,
+        checkpoint=checkpoint,
+        limit_train_batches=cfg.audio_to_params.get("limit_train_batches"),
+        val_check_interval=None,  # reference fits on train only (downstream.py:58-61)
+        log_every=cfg.get("log_every", 50),
+    )
+    state = trainer.fit(state)
+
+    # test pass with resynthesis (reference: downstream.py:63, audio_to_params.py:238-273)
+    for i in range(split.sizes.test):
+        batch_num = split.test_batch_num(i)
+        metrics, true_audio, pred_audio = task.test_step(state, batch_num)
+        logger.log({k: float(v) for k, v in metrics.items()})
+        task.log_audio_triplets(logger, true_audio, pred_audio, batch_idx=i)
+    logger.finish()
+
+
+if __name__ == "__main__":
+    app(load_config(overrides=sys.argv[1:]))

@@ -1,0 +1,112 @@
+"""Nearest-neighbor retrieval evaluation over freshly synthesized candidates.
+
+Re-implements the reference's notebook loop (reference:
+evaluate_audio_representations.py:91-245): embed a fixed set of query sounds once, then
+stream candidate batches — synthesize, embed, cdist against the queries, track each
+query's best match so far; on improvement, emit the (true, silence, match) audio pair.
+The reference's stale APIs (it imports a nonexistent module and calls old constructors,
+evaluate_audio_representations.py:43,156,162) are fixed by construction here.
+
+TPU-native: synthesis + embedding + distance + argmin run as ONE jitted chunk step; the
+running (best_dist, best_audio) state lives on device and updates via jnp.where, so the
+host only sees a scalar "improved" mask per chunk.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from inverse_audio_synthesis_tpu.synth import SynthConfig
+from inverse_audio_synthesis_tpu.synth.voice import render_voice, sample_voice_params
+
+
+def cdist(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Euclidean distance matrix [Na, Nb] (torch.cdist default p=2,
+    reference: evaluate_audio_representations.py:211)."""
+    a2 = jnp.sum(a * a, axis=1, keepdims=True)
+    b2 = jnp.sum(b * b, axis=1, keepdims=True)
+    sq = a2 - 2.0 * (a @ b.T) + b2.T
+    return jnp.sqrt(jnp.maximum(sq, 0.0))
+
+
+class RetrievalEvaluator:
+    """Tracks per-query nearest neighbors over a candidate stream."""
+
+    def __init__(
+        self,
+        embed_fn,  # audio [B, 1, T] → embeddings [B, D]
+        query_synth: SynthConfig,
+        candidate_synth: SynthConfig,
+        query_batch_num: int = 0,
+    ):
+        self.embed_fn = embed_fn
+        self.query_synth = query_synth
+        self.candidate_synth = candidate_synth
+
+        query_params = sample_voice_params(query_batch_num, query_synth)
+        self.query_audio = render_voice(query_params, query_synth)
+        self.query_emb = embed_fn(self.query_audio[:, None, :])
+        n_q = query_synth.batch_size
+        self.best_dist = jnp.full((n_q,), jnp.inf, jnp.float32)
+        self.best_audio = jnp.zeros((n_q, candidate_synth.buffer_size), jnp.float32)
+        self._chunk = jax.jit(self._chunk_step)
+
+    def _chunk_step(self, best_dist, best_audio, batch_num):
+        params = sample_voice_params(batch_num, self.candidate_synth)
+        audio = render_voice(params, self.candidate_synth)
+        emb = self.embed_fn(audio[:, None, :])
+        d = cdist(
+            self.query_emb.astype(jnp.float32), emb.astype(jnp.float32)
+        )  # [n_q, B]
+        chunk_min = jnp.min(d, axis=1)
+        chunk_arg = jnp.argmin(d, axis=1)
+        improved = chunk_min < best_dist
+        new_dist = jnp.where(improved, chunk_min, best_dist)
+        new_audio = jnp.where(improved[:, None], audio[chunk_arg], best_audio)
+        return new_dist, new_audio, improved
+
+    def step(self, batch_num: int) -> np.ndarray:
+        """Process one candidate batch; returns the per-query improvement mask."""
+        self.best_dist, self.best_audio, improved = self._chunk(
+            self.best_dist, self.best_audio, batch_num
+        )
+        # monotone-convergence invariant (reference asserts this:
+        # evaluate_audio_representations.py:238-240)
+        return np.asarray(improved)
+
+    def run(
+        self,
+        n_batches: int,
+        logger=None,
+        sample_rate: int = 44100,
+        log_every_improvement: bool = True,
+    ) -> Dict[str, np.ndarray]:
+        prev = np.asarray(self.best_dist)
+        for i in range(n_batches):
+            improved = self.step(i + 1)  # batch 0 is the query batch
+            cur = np.asarray(self.best_dist)
+            assert (cur <= prev + 1e-6).all(), "min distance must be monotone"
+            prev = cur
+            if logger is not None and log_every_improvement and improved.any():
+                for q in np.nonzero(improved)[0]:
+                    silence = np.zeros(sample_rate // 2, np.float32)
+                    clip = np.concatenate(
+                        [
+                            np.asarray(self.query_audio[q]),
+                            silence,
+                            np.asarray(self.best_audio[q]),
+                        ]
+                    )
+                    logger.log_audio(
+                        f"retrieval/query{q}-dist{cur[q]:.3f}", clip, sample_rate, step=i
+                    )
+        return {
+            "best_dist": np.asarray(self.best_dist),
+            "best_audio": np.asarray(self.best_audio),
+            "query_audio": np.asarray(self.query_audio),
+        }

@@ -57,18 +57,20 @@ class PQMF:
         taps: int = 62,
         cutoff: float = 0.15,
         beta: float = 9.0,
-        dtype=jnp.float32,
     ):
         self.n_bands = n_bands
         self.taps = taps
         self.cutoff = cutoff
         self.beta = beta
         h, g = design_pqmf_filters(n_bands, taps, cutoff, beta)
+        w, left_pad = self._polyphase_synthesis_kernel(g)
+        # Filters are kept as NUMPY constants and converted at call time: a PQMF may
+        # be constructed inside one jit trace and used inside another (it is cached in
+        # the audio tower), and jnp arrays born inside a trace would leak as tracers.
         # H: [out_ch = n_bands, in_ch = 1, K]; G: [out_ch = 1, in_ch = n_bands, K]
-        self.H = jnp.asarray(h[:, None, :], dtype=dtype)
-        self.G = jnp.asarray(g[None, :, :], dtype=dtype)
-        w, left_pad = self._polyphase_synthesis_kernel()
-        self._synthesis_w = (jnp.asarray(w, dtype=dtype), left_pad)
+        self.H = np.asarray(h[:, None, :], dtype=np.float32)
+        self.G = np.asarray(g[None, :, :], dtype=np.float32)
+        self._synthesis_w = (np.asarray(w, dtype=np.float32), left_pad)
 
     def __call__(self, x: jax.Array) -> jax.Array:
         return self.analysis(x)
@@ -77,13 +79,13 @@ class PQMF:
         pad = self.taps // 2
         return jax.lax.conv_general_dilated(
             x,
-            self.H.astype(x.dtype),
+            jnp.asarray(self.H, dtype=x.dtype),
             window_strides=(self.n_bands,),
             padding=[(pad, pad)],
             dimension_numbers=("NCH", "OIH", "NCH"),
         )
 
-    def _polyphase_synthesis_kernel(self) -> Tuple[np.ndarray, int]:
+    def _polyphase_synthesis_kernel(self, g: np.ndarray) -> Tuple[np.ndarray, int]:
         """Decompose synthesis into a polyphase conv over the band-rate signal.
 
         The reference synthesis (pqmf.py:52-55) zero-stuffs each band by N (gain N,
@@ -98,7 +100,7 @@ class PQMF:
         Returns (W [N_phase, N_band, L], left_pad).
         """
         n, k = self.n_bands, self.taps + 1
-        g = np.asarray(self.G[0], dtype=np.float64)  # [n_bands, K]
+        g = np.asarray(g, dtype=np.float64)  # [n_bands, K]
         center = self.taps // 2
         j0 = [(center - p) % n for p in range(n)]
         # per-phase temporal offsets of the first tap, in band-rate samples
@@ -120,7 +122,7 @@ class PQMF:
         L = w.shape[-1]
         phases = jax.lax.conv_general_dilated(
             x,
-            w.astype(x.dtype),
+            jnp.asarray(w, dtype=x.dtype),
             window_strides=(1,),
             padding=[(left_pad, L - 1 - left_pad)],
             dimension_numbers=("NCH", "OIH", "NCH"),

@@ -1,0 +1,75 @@
+"""Orbax checkpointing with the reference's cadence semantics.
+
+Reference behavior: vicreg checkpoints every ``checkpoint_every_nbatches`` steps,
+monitored on train loss, plus ``save_last`` (reference: pretrain.py:80-89,
+conf/vicreg/full.yaml:16); downstream every 100 steps into ``chkpts/``
+(reference: downstream.py:31-37). Consumption: load-from-checkpoint for downstream /
+heareval (reference: downstream.py:29, heareval.py:14).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Any, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    def __init__(self, directory: str, every_n_steps: int = 10000, keep: int = 3):
+        self.dir = Path(directory).resolve()
+        self.dir.mkdir(parents=True, exist_ok=True)
+        self.every_n_steps = every_n_steps
+        self.keep = keep
+        self._ckpt = ocp.StandardCheckpointer()
+
+    def _step_dir(self, step: int) -> Path:
+        return self.dir / f"step_{step:012d}"
+
+    def maybe_save(self, state, step: int, metrics: Optional[dict] = None) -> bool:
+        if self.every_n_steps and (step % self.every_n_steps == 0) and step > 0:
+            self.save(state, step, metrics)
+            return True
+        return False
+
+    def save(self, state, step: int, metrics: Optional[dict] = None) -> Path:
+        path = self._step_dir(step)
+        self._ckpt.save(path, state, force=True)
+        self._ckpt.wait_until_finished()
+        (self.dir / "last").write_text(path.name)  # save_last semantics
+        if metrics:
+            (path.parent / f"{path.name}.metrics.json").write_text(
+                json.dumps({k: float(v) for k, v in metrics.items()})
+            )
+        self._gc()
+        return path
+
+    def _gc(self):
+        steps = sorted(self.dir.glob("step_*"))
+        steps = [s for s in steps if s.is_dir()]
+        for old in steps[: max(0, len(steps) - self.keep)]:
+            import shutil
+
+            shutil.rmtree(old, ignore_errors=True)
+            m = old.parent / f"{old.name}.metrics.json"
+            if m.exists():
+                m.unlink()
+
+    def latest_step(self) -> Optional[int]:
+        last = self.dir / "last"
+        if last.exists():
+            name = last.read_text().strip()
+            if (self.dir / name).exists():
+                return int(name.split("_")[1])
+        steps = sorted(self.dir.glob("step_*"))
+        return int(steps[-1].name.split("_")[1]) if steps else None
+
+    def restore(self, target, step: Optional[int] = None):
+        """Restore into the structure/shardings of ``target`` (an abstract or concrete
+        state pytree)."""
+        step = step if step is not None else self.latest_step()
+        assert step is not None, f"no checkpoint found under {self.dir}"
+        abstract = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct, target)
+        return self._ckpt.restore(self._step_dir(step), abstract)

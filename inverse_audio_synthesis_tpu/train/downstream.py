@@ -1,0 +1,198 @@
+"""Downstream inverse-synthesis task: frozen VICReg towers → parameter prediction.
+
+TPU-native counterpart of the reference's ``AudioToParams`` LightningModule
+(reference: audio_to_params.py:177-312): a trainable head maps frozen audio
+representations to the 78 normalized synth params; the loss is embedding-space MSE
+between the true-parameter embedding and the predicted-parameter embedding (both
+through the frozen param tower + projector, audio_to_params.py:218-229), with the
+frozen vicreg loss logged as a diagnostic (audio_to_params.py:230-231).
+
+Test-time resynthesis: the reference mutates its Voice via 78 host-side
+``set_parameter_0to1`` calls then synthesizes (audio_to_params.py:240-257 — flagged in
+SURVEY.md as a hot-loop killer). Here predicted params feed straight back into the pure
+``render_voice`` inside the same jitted program, and the resynthesized audio is scored
+with mel-L1 and multi-resolution STFT losses (the reference only sketched this —
+audio_to_params.py:150-153,233).
+
+Deviation (documented): the reference generates *training* batches from the pretrain
+module's Voice — i.e. at the pretrain batch size — while its own downstream-batch-size
+Voice is used only at test time, which crashes if the sizes differ
+(audio_to_params.py:215 vs :240-246). Here both use ``cfg.audio_to_params.batch_size``.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax.training import train_state
+
+from inverse_audio_synthesis_tpu.models import AudioRepresentationToParams
+from inverse_audio_synthesis_tpu.ops.stft import MelSpectrogram, multi_resolution_stft_loss
+from inverse_audio_synthesis_tpu.parallel.mesh import param_shardings, shard_batch
+from inverse_audio_synthesis_tpu.synth.voice import render_voice, sample_voice_params
+from inverse_audio_synthesis_tpu.train.optim import make_optimizer
+from inverse_audio_synthesis_tpu.train.pretrain import (
+    TrainState,
+    VicregPretrainTask,
+    synth_config_from_cfg,
+)
+
+
+class AudioToParamsTask:
+    def __init__(self, cfg, mesh, pretrain_task: VicregPretrainTask, pretrain_state):
+        self.cfg = cfg
+        self.mesh = mesh
+        self.vicreg_model = pretrain_task.model
+        # frozen pretrained variables (reference: audio_to_params.py:183-185,212-213)
+        self.frozen = {
+            "params": pretrain_state.params,
+            "batch_stats": pretrain_state.batch_stats,
+        }
+        self.synth = synth_config_from_cfg(cfg, cfg.audio_to_params.batch_size)
+        self.head = AudioRepresentationToParams(
+            nparams=cfg.nparams,
+            dim=cfg.dim,
+            hidden_norm=cfg.audio_to_params.hidden_norm,
+            dropout=cfg.audio_to_params.dropout,
+            dtype=jnp.bfloat16 if cfg.get("precision") == "bf16" else jnp.float32,
+        )
+        self.tx, self.schedule = make_optimizer(
+            cfg.audio_to_params.optim,
+            cfg.audio_to_params.batch_size,
+            cfg.audio_to_params.get("scheduler"),
+        )
+        self.mel = MelSpectrogram(
+            sample_rate=cfg.torchsynth.rate,
+            n_fft=cfg.mel.n_fft,
+            hop_length=cfg.mel.hop_length,
+            n_mels=cfg.mel.n_mels,
+            norm=cfg.mel.norm,
+            mel_scale=cfg.mel.mel_scale,
+            power=cfg.mel.power,
+        )
+        self._dropout_base = jax.random.PRNGKey(cfg.seed + 2)
+        self.train_step = jax.jit(self._train_step, donate_argnums=0)
+        self.test_step = jax.jit(self._test_step)
+
+    def init_state(self, key: Optional[jax.Array] = None) -> TrainState:
+        key = key if key is not None else jax.random.PRNGKey(self.cfg.seed)
+        repr_dim = jnp.zeros((2, self.cfg.dim), jnp.float32)
+        variables = jax.jit(partial(self.head.init, train=False))(key, repr_dim)
+        state = TrainState.create(
+            apply_fn=self.head.apply,
+            params=variables["params"],
+            tx=self.tx,
+            batch_stats=variables.get("batch_stats", {}),
+        )
+        return jax.device_put(state, param_shardings(state, self.mesh))
+
+    # -- frozen tower helpers ----------------------------------------------------
+    def _audio_repr(self, audio):
+        return self.vicreg_model.apply(
+            self.frozen, audio, train=False, method=self.vicreg_model.audio_repr
+        )
+
+    def _embed_params(self, params01):
+        return self.vicreg_model.apply(
+            self.frozen, params01, train=False, method=self.vicreg_model.embed_params
+        )
+
+    def _project_repr(self, repr_):
+        return self.vicreg_model.apply(
+            self.frozen, repr_, train=False,
+            method=lambda m, r, train: m.projector(r, train=train),
+        )
+
+    def _synthesize(self, batch_num):
+        params01 = shard_batch(sample_voice_params(batch_num, self.synth), self.mesh)
+        audio = shard_batch(render_voice(params01, self.synth), self.mesh)
+        return audio[:, None, :], params01
+
+    def _shared(self, head_variables, audio, params01, train, dropout_key=None):
+        audio_repr = self._audio_repr(audio)
+        true_emb = self._embed_params(params01)
+        rngs = {"dropout": dropout_key} if train else None
+        if train:
+            pred_params, mutated = self.head.apply(
+                head_variables, audio_repr.astype(jnp.float32), train=True,
+                rngs=rngs, mutable=["batch_stats"],
+            )
+        else:
+            pred_params = self.head.apply(
+                head_variables, audio_repr.astype(jnp.float32), train=False
+            )
+            mutated = None
+        pred_emb = self._embed_params(pred_params)
+        repr_loss = jnp.mean(
+            (true_emb.astype(jnp.float32) - pred_emb.astype(jnp.float32)) ** 2
+        )
+        frozen_loss = jnp.mean(
+            (
+                true_emb.astype(jnp.float32)
+                - self._project_repr(audio_repr).astype(jnp.float32)
+            )
+            ** 2
+        )
+        return pred_params, repr_loss, frozen_loss, mutated
+
+    # -- steps ---------------------------------------------------------------------
+    def _train_step(self, state: TrainState, batch_num):
+        audio, params01 = self._synthesize(batch_num)
+        dropout_key = jax.random.fold_in(self._dropout_base, state.step)
+
+        def loss_fn(params):
+            variables = {"params": params, "batch_stats": state.batch_stats}
+            _, repr_loss, frozen_loss, mutated = self._shared(
+                variables, audio, params01, train=True, dropout_key=dropout_key
+            )
+            return repr_loss, (mutated["batch_stats"], frozen_loss)
+
+        (loss, (new_stats, frozen_loss)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        state = state.apply_gradients(grads=grads, batch_stats=new_stats)
+        metrics = {
+            "audio_to_params/train/loss": loss,
+            "audio_to_params/train/frozen_vicreg_loss": frozen_loss,
+        }
+        return state, metrics
+
+    def _test_step(self, state: TrainState, batch_num):
+        audio, params01 = self._synthesize(batch_num)
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        pred_params, repr_loss, frozen_loss, _ = self._shared(
+            variables, audio, params01, train=False
+        )
+        # resynthesize from predicted params — pure function, same program
+        pred_audio = render_voice(pred_params.astype(jnp.float32), self.synth)
+        true_audio = audio[:, 0, :]
+        metrics = {
+            "audio_to_params/test/loss": repr_loss,
+            "audio_to_params/test/frozen_vicreg_loss": frozen_loss,
+            "audio_to_params/test/mel_l1": jnp.mean(
+                jnp.abs(self.mel(pred_audio) - self.mel(true_audio))
+            ),
+            "audio_to_params/test/mrstft": multi_resolution_stft_loss(
+                pred_audio, true_audio
+            ),
+            "audio_to_params/test/param_mae": jnp.mean(
+                jnp.abs(pred_params - params01)
+            ),
+        }
+        return metrics, true_audio, pred_audio
+
+    # -- audio logging (reference: audio_to_params.py:260-273) ----------------------
+    def log_audio_triplets(self, logger, true_audio, pred_audio, batch_idx, n: int = 16):
+        import numpy as np
+
+        rate = self.cfg.torchsynth.rate
+        silence = np.zeros(rate // 2, dtype=np.float32)
+        n = min(n, true_audio.shape[0])
+        for i in range(n):
+            clip = np.concatenate(
+                [np.asarray(true_audio[i]), silence, np.asarray(pred_audio[i])]
+            )
+            logger.log_audio(f"audio-test/{batch_idx}/{i}", clip, rate)

@@ -1,0 +1,107 @@
+"""The training loop (replaces Lightning Trainer for this pipeline).
+
+Implements the subset of Trainer behavior the reference relies on
+(reference: pretrain.py:91-122, downstream.py:39-63): max_epochs=1 over the batch-number
+stream, ``limit_train_batches`` / ``limit_val_batches`` / ``val_check_interval``,
+checkpoint cadence + save-last, deterministic seeding, and metric logging. NaN guarding
+(the reference's detect_anomaly) is a cheap host-side check on the scalar loss.
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import numpy as np
+
+from inverse_audio_synthesis_tpu.train.checkpoint import CheckpointManager
+from inverse_audio_synthesis_tpu.train.runsetup import BatchNumberSplit
+from inverse_audio_synthesis_tpu.utils.logging import MetricsLogger
+
+
+class Trainer:
+    def __init__(
+        self,
+        task,
+        split: BatchNumberSplit,
+        logger: Optional[MetricsLogger] = None,
+        checkpoint: Optional[CheckpointManager] = None,
+        limit_train_batches: Optional[int] = None,
+        limit_val_batches: Optional[int] = None,
+        val_check_interval: Optional[int] = None,
+        log_every: int = 50,
+        detect_anomaly: bool = True,
+    ):
+        self.task = task
+        self.split = split
+        self.logger = logger
+        self.checkpoint = checkpoint
+        self.limit_train_batches = limit_train_batches
+        self.limit_val_batches = limit_val_batches
+        self.val_check_interval = val_check_interval
+        self.log_every = log_every
+        self.detect_anomaly = detect_anomaly
+
+    def _log(self, metrics: Dict[str, Any], step: int):
+        if self.logger is not None:
+            self.logger.log(metrics, step=step)
+
+    def validate(self, state, max_batches: Optional[int] = None) -> Dict[str, float]:
+        if not hasattr(self.task, "val_step"):
+            return {}
+        n = min(
+            self.split.sizes.val,
+            max_batches or self.limit_val_batches or self.split.sizes.val,
+        )
+        if n == 0:
+            return {}
+        acc: Dict[str, float] = {}
+        for i in range(n):
+            m = self.task.val_step(state, self.split.val_batch_num(i))
+            for k, v in m.items():
+                acc[k] = acc.get(k, 0.0) + float(v)
+        return {k: v / n for k, v in acc.items()}
+
+    def fit(self, state, start_step: int = 0):
+        n_train = self.split.sizes.train
+        if self.limit_train_batches:
+            n_train = min(n_train, self.limit_train_batches)
+        t0 = time.time()
+        window_start = t0
+        for i in range(start_step, n_train):
+            batch_num = self.split.train_batch_num(i)
+            state, metrics = self.task.train_step(state, batch_num)
+
+            if (i + 1) % self.log_every == 0 or i == start_step:
+                metrics = {k: float(v) for k, v in metrics.items()}
+                now = time.time()
+                steps = self.log_every if i != start_step else 1
+                metrics["steps_per_sec"] = steps / max(now - window_start, 1e-9)
+                metrics["voices_per_sec"] = (
+                    metrics["steps_per_sec"] * self.task.synth.batch_size
+                )
+                window_start = now
+                if self.detect_anomaly:
+                    bad = {
+                        k: v
+                        for k, v in metrics.items()
+                        if isinstance(v, float) and not math.isfinite(v)
+                    }
+                    if bad:
+                        raise FloatingPointError(
+                            f"non-finite metrics at step {i}: {bad}"
+                        )
+                self._log(metrics, step=i)
+
+            if self.val_check_interval and (i + 1) % self.val_check_interval == 0:
+                val_metrics = self.validate(state)
+                self._log(val_metrics, step=i)
+
+            if self.checkpoint is not None:
+                self.checkpoint.maybe_save(state, i + 1)
+
+        if self.checkpoint is not None:
+            self.checkpoint.save(state, n_train)  # save_last
+        return state

@@ -1,0 +1,184 @@
+"""VICReg pretraining task: seed → synth → towers → loss → grads, one jitted program.
+
+TPU-native counterpart of the reference's ``VicregAudioParams`` LightningModule
+(reference: vicreg_audio_params.py:33-165). The reference's per-step pattern — move the
+batch number to CPU, call a stateful Voice, run forward, log with sync_dist
+(vicreg_audio_params.py:107-122) — becomes a single pure ``train_step(state,
+batch_num)`` compiled over the device mesh: the batch number stays on device, the
+synthesizer runs as part of the same XLA program, gradients and the VICReg global-batch
+statistics reduce over ICI, and there are zero host round-trips.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import flax
+import jax
+import jax.numpy as jnp
+import optax
+from flax.training import train_state
+
+from inverse_audio_synthesis_tpu.models import (
+    AudioEmbedding,
+    ParamEmbed,
+    VICRegModule,
+    vicreg_loss,
+)
+from inverse_audio_synthesis_tpu.models.vicreg import parse_projector_spec
+from inverse_audio_synthesis_tpu.parallel.mesh import param_shardings, shard_batch
+from inverse_audio_synthesis_tpu.synth import SynthConfig
+from inverse_audio_synthesis_tpu.synth.voice import render_voice, sample_voice_params
+from inverse_audio_synthesis_tpu.train.optim import make_optimizer
+
+
+class TrainState(train_state.TrainState):
+    batch_stats: Any = None
+
+
+def synth_config_from_cfg(cfg, batch_size: int) -> SynthConfig:
+    scfg = SynthConfig(
+        batch_size=batch_size,
+        reproducible=cfg.torchsynth.reproducible,
+        sample_rate=cfg.torchsynth.rate,
+        buffer_size_seconds=cfg.torchsynth.buffer_size_seconds,
+        control_rate=cfg.torchsynth.get("control_rate", 441),
+        seed=cfg.seed,
+    )
+    expected = 3 * cfg.image.height * cfg.image.width
+    assert scfg.buffer_size == expected, (
+        f"torchsynth buffer ({scfg.buffer_size} samples) must tile the PQMF "
+        f"pseudo-image: 3×{cfg.image.height}×{cfg.image.width} = {expected}"
+    )
+    return scfg
+
+
+def build_vicreg_model(cfg) -> VICRegModule:
+    dtype = jnp.bfloat16 if cfg.get("precision") == "bf16" else jnp.float32
+    return VICRegModule(
+        backbone_audio=AudioEmbedding(
+            dim=cfg.dim,
+            image_size=(cfg.image.height, cfg.image.width),
+            dtype=dtype,
+        ),
+        backbone_param=ParamEmbed(
+            nparams=cfg.nparams,
+            dim=cfg.dim,
+            hidden_norm=cfg.param_embed.hidden_norm,
+            dropout=cfg.param_embed.dropout,
+            dtype=dtype,
+        ),
+        projector_dims=parse_projector_spec(cfg.vicreg.mlp, cfg.dim, cfg.embeddim),
+        dtype=dtype,
+    )
+
+
+class VicregPretrainTask:
+    """Owns model/optimizer/synth configs and the compiled train/val steps."""
+
+    def __init__(self, cfg, mesh):
+        self.cfg = cfg
+        self.mesh = mesh
+        self.synth = synth_config_from_cfg(cfg, cfg.vicreg.batch_size)
+        self.model = build_vicreg_model(cfg)
+        self.tx, self.schedule = make_optimizer(
+            cfg.vicreg.optim, cfg.vicreg.batch_size, cfg.vicreg.get("scheduler")
+        )
+        self._dropout_base = jax.random.PRNGKey(cfg.seed + 1)
+        self.train_step = jax.jit(self._train_step, donate_argnums=0)
+        self.val_step = jax.jit(self._eval_step)
+
+    # -- state -----------------------------------------------------------------
+    def init_state(self, key: Optional[jax.Array] = None) -> TrainState:
+        key = key if key is not None else jax.random.PRNGKey(self.cfg.seed)
+        audio = jnp.zeros((2, 1, self.synth.buffer_size), jnp.float32)
+        params01 = jnp.zeros((2, self.cfg.nparams), jnp.float32)
+        variables = jax.jit(partial(self.model.init, train=False))(key, audio, params01)
+        state = TrainState.create(
+            apply_fn=self.model.apply,
+            params=variables["params"],
+            tx=self.tx,
+            batch_stats=variables.get("batch_stats", {}),
+        )
+        # place (possibly TP-sharded) onto the mesh; opt_state mirrors param paths
+        return jax.device_put(state, param_shardings(state, self.mesh))
+
+    # -- steps -------------------------------------------------------------------
+    def _synthesize(self, batch_num):
+        params01 = sample_voice_params(batch_num, self.synth)
+        params01 = shard_batch(params01, self.mesh)
+        audio = shard_batch(render_voice(params01, self.synth), self.mesh)
+        return audio[:, None, :], params01
+
+    def _losses(self, x, y):
+        # towers may run bf16 on the MXU; the loss statistics (variance/covariance)
+        # always reduce in fp32
+        return vicreg_loss(
+            x.astype(jnp.float32),
+            y.astype(jnp.float32),
+            sim_coeff=self.cfg.vicreg.sim_coeff,
+            std_coeff=self.cfg.vicreg.std_coeff,
+            cov_coeff=self.cfg.vicreg.cov_coeff,
+        )
+
+    def _train_step(
+        self, state: TrainState, batch_num
+    ) -> Tuple[TrainState, Dict[str, jax.Array]]:
+        audio, params01 = self._synthesize(batch_num)
+        dropout_key = jax.random.fold_in(self._dropout_base, state.step)
+
+        def loss_fn(params):
+            (x, y), mutated = state.apply_fn(
+                {"params": params, "batch_stats": state.batch_stats},
+                audio,
+                params01,
+                train=True,
+                rngs={"dropout": dropout_key},
+                mutable=["batch_stats"],
+            )
+            loss, repr_l, std_l, cov_l = self._losses(x, y)
+            return loss, (mutated["batch_stats"], repr_l, std_l, cov_l)
+
+        (loss, (new_stats, repr_l, std_l, cov_l)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        state = state.apply_gradients(grads=grads, batch_stats=new_stats)
+        lr = (
+            self.schedule(state.step)
+            if callable(self.schedule)
+            else jnp.asarray(self.schedule)
+        )
+        metrics = {
+            "vicreg/train/loss": loss,
+            "vicreg/train/repr_loss": repr_l,
+            "vicreg/train/std_loss": std_l,
+            "vicreg/train/cov_loss": cov_l,
+            "lr": lr,
+        }
+        return state, metrics
+
+    def _eval_step(self, state: TrainState, batch_num) -> Dict[str, jax.Array]:
+        audio, params01 = self._synthesize(batch_num)
+        x, y = state.apply_fn(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            audio,
+            params01,
+            train=False,
+        )
+        loss, repr_l, std_l, cov_l = self._losses(x, y)
+        return {
+            "vicreg/validation/loss": loss,
+            "vicreg/validation/repr_loss": repr_l,
+            "vicreg/validation/std_loss": std_l,
+            "vicreg/validation/cov_loss": cov_l,
+        }
+
+    # -- embedding API (heareval surface, reference: heareval.py:14-15) -----------
+    def embed_audio(self, state: TrainState, audio) -> jax.Array:
+        return self.model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            audio,
+            train=False,
+            method=self.model.audio_repr,
+        )

@@ -1,0 +1,70 @@
+#!/usr/bin/env python3
+"""VICReg pretraining CLI (reference surface: pretrain.py:51-129).
+
+Usage mirrors the reference's hydra CLI:
+    python pretrain.py [vicreg=fast] [vicreg.optim.name=sgd] [dim=64] ...
+"""
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from inverse_audio_synthesis_tpu.utils.config import load_config
+
+
+def app(cfg) -> None:
+    import jax
+
+    # the baked sitecustomize pins jax_platforms=axon,cpu; allow overriding from the
+    # config (e.g. platform=cpu for local smoke runs)
+    if cfg.get("platform"):
+        jax.config.update("jax_platforms", cfg.platform)
+
+    from inverse_audio_synthesis_tpu.parallel.mesh import create_mesh
+    from inverse_audio_synthesis_tpu.train.checkpoint import CheckpointManager
+    from inverse_audio_synthesis_tpu.train.loop import Trainer
+    from inverse_audio_synthesis_tpu.train.pretrain import VicregPretrainTask
+    from inverse_audio_synthesis_tpu.train.runsetup import runsetup
+    from inverse_audio_synthesis_tpu.utils.logging import MetricsLogger
+    from inverse_audio_synthesis_tpu.utils.utils import git_sha
+
+    split = runsetup(cfg)
+    mesh = create_mesh(cfg.mesh.data, cfg.mesh.model)
+    print(f"devices: {jax.devices()}  mesh: {dict(mesh.shape)}")
+
+    task = VicregPretrainTask(cfg, mesh)
+    state = task.init_state()
+    n_params = sum(p.size for p in jax.tree_util.tree_leaves(state.params))
+    print(f"model parameters: {n_params:,}")
+
+    logger = MetricsLogger(
+        run_dir=cfg.get("run_dir", "runs"),
+        config={"git_sha": git_sha, **cfg.to_dict()},
+        use_wandb=cfg.get("log") == "wand",
+        run_name="pretrain-" + __import__("time").strftime("%Y%m%d-%H%M%S"),
+    )
+    checkpoint = CheckpointManager(
+        directory=str(Path(cfg.get("run_dir", "runs")) / "checkpoints" / "vicreg"),
+        every_n_steps=cfg.vicreg.checkpoint_every_nbatches,
+    )
+    trainer = Trainer(
+        task,
+        split,
+        logger=logger,
+        checkpoint=checkpoint,
+        limit_train_batches=cfg.vicreg.get("limit_train_batches"),
+        limit_val_batches=cfg.vicreg.get("limit_val_batches"),
+        val_check_interval=cfg.vicreg.get("val_check_interval"),
+        log_every=cfg.get("log_every", 50),
+    )
+    start = checkpoint.latest_step()
+    if start:
+        print(f"resuming from checkpoint step {start}")
+        state = checkpoint.restore(state)
+    trainer.fit(state, start_step=start or 0)
+    logger.finish()
+
+
+if __name__ == "__main__":
+    app(load_config(overrides=sys.argv[1:]))

@@ -1,0 +1,99 @@
+"""Downstream inverse-synthesis task + retrieval eval on the 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from inverse_audio_synthesis_tpu.eval.retrieval import RetrievalEvaluator, cdist
+from inverse_audio_synthesis_tpu.parallel.mesh import create_mesh
+from inverse_audio_synthesis_tpu.train.downstream import AudioToParamsTask
+from inverse_audio_synthesis_tpu.train.pretrain import (
+    VicregPretrainTask,
+    synth_config_from_cfg,
+)
+from inverse_audio_synthesis_tpu.utils.config import load_config
+
+from test_train import tiny_cfg
+
+
+@pytest.fixture(scope="module")
+def pretrain():
+    cfg = tiny_cfg(**{"audio_to_params.batch_size": 8})
+    mesh = create_mesh(data=8, model=1)
+    task = VicregPretrainTask(cfg, mesh)
+    state = task.init_state()
+    return cfg, mesh, task, state
+
+
+def test_downstream_train_and_test(pretrain):
+    cfg, mesh, pre_task, pre_state = pretrain
+    task = AudioToParamsTask(cfg, mesh, pre_task, pre_state)
+    state = task.init_state()
+
+    first = None
+    for i in range(6):
+        state, metrics = task.train_step(state, 10 + i % 2)
+        if first is None:
+            first = float(metrics["audio_to_params/train/loss"])
+        assert np.isfinite(float(metrics["audio_to_params/train/loss"]))
+    # frozen vicreg loss is a constant diagnostic of the frozen towers
+    assert np.isfinite(float(metrics["audio_to_params/train/frozen_vicreg_loss"]))
+
+    metrics, true_audio, pred_audio = task.test_step(state, 99)
+    assert true_audio.shape == pred_audio.shape
+    for k in (
+        "audio_to_params/test/loss",
+        "audio_to_params/test/mel_l1",
+        "audio_to_params/test/mrstft",
+        "audio_to_params/test/param_mae",
+    ):
+        assert np.isfinite(float(metrics[k])), k
+    # predicted params in (0, 1) ⇒ resynthesized audio is valid/finite
+    assert np.isfinite(np.asarray(pred_audio)).all()
+
+
+def test_frozen_towers_not_updated(pretrain):
+    cfg, mesh, pre_task, pre_state = pretrain
+    task = AudioToParamsTask(cfg, mesh, pre_task, pre_state)
+    frozen_before = jax.tree_util.tree_map(np.asarray, task.frozen["params"])
+    state = task.init_state()
+    state, _ = task.train_step(state, 5)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(frozen_before),
+        jax.tree_util.tree_leaves(task.frozen["params"]),
+    ):
+        np.testing.assert_array_equal(a, np.asarray(b))
+
+
+def test_cdist_matches_torch():
+    torch = pytest.importorskip("torch")
+    rng = np.random.RandomState(0)
+    a = rng.randn(5, 7).astype(np.float32)
+    b = rng.randn(9, 7).astype(np.float32)
+    ours = np.asarray(cdist(jnp.asarray(a), jnp.asarray(b)))
+    theirs = torch.cdist(torch.from_numpy(a), torch.from_numpy(b)).numpy()
+    np.testing.assert_allclose(ours, theirs, atol=1e-4, rtol=1e-4)
+
+
+def test_retrieval_monotone(pretrain):
+    cfg, mesh, pre_task, pre_state = pretrain
+
+    def embed(audio):
+        return pre_task.model.apply(
+            {"params": pre_state.params, "batch_stats": pre_state.batch_stats},
+            audio,
+            train=False,
+            method=pre_task.model.embed_audio,
+        )
+
+    ev = RetrievalEvaluator(
+        embed_fn=embed,
+        query_synth=synth_config_from_cfg(cfg, 4),
+        candidate_synth=synth_config_from_cfg(cfg, 8),
+    )
+    assert np.isinf(np.asarray(ev.best_dist)).all()
+    result = ev.run(n_batches=3)
+    assert np.isfinite(result["best_dist"]).all()  # all queries matched something
+    assert result["best_audio"].shape == (4, ev.candidate_synth.buffer_size)

@@ -1,0 +1,92 @@
+"""Weight importer: build a synthetic torchvision-style state_dict with the exact
+key/shape layout and check it lands in the Flax tree with matching shapes."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from inverse_audio_synthesis_tpu.models.mobilenetv3 import (
+    SMALL_CONFIG,
+    MobileNetV3Small,
+    make_divisible,
+)
+from inverse_audio_synthesis_tpu.models.torch_import import (
+    convert_mobilenetv3_small_state_dict,
+    load_into_audio_embedding,
+)
+
+
+def synthetic_torchvision_state_dict():
+    """Emulates torchvision mobilenet_v3_small().features.state_dict() key layout."""
+    rng = np.random.RandomState(0)
+    sd = {}
+
+    def convbn(prefix, cin, cout, k, groups=1):
+        sd[f"{prefix}.0.weight"] = rng.randn(cout, cin // groups, k, k).astype(np.float32)
+        for name, shape in [
+            ("1.weight", (cout,)),
+            ("1.bias", (cout,)),
+            ("1.running_mean", (cout,)),
+            ("1.running_var", (cout,)),
+        ]:
+            sd[f"{prefix}.{name}"] = rng.randn(*shape).astype(np.float32)
+
+    convbn("features.0", 3, 16, 3)
+    cin = 16
+    for i, (k, exp, cout, se, hs, s) in enumerate(SMALL_CONFIG, start=1):
+        j = 0
+        if exp != cin:
+            convbn(f"features.{i}.block.{j}", cin, exp, 1)
+            j += 1
+        convbn(f"features.{i}.block.{j}", exp, exp, k, groups=exp)
+        j += 1
+        if se:
+            sq = make_divisible(exp // 4)
+            sd[f"features.{i}.block.{j}.fc1.weight"] = rng.randn(sq, exp, 1, 1).astype(np.float32)
+            sd[f"features.{i}.block.{j}.fc1.bias"] = rng.randn(sq).astype(np.float32)
+            sd[f"features.{i}.block.{j}.fc2.weight"] = rng.randn(exp, sq, 1, 1).astype(np.float32)
+            sd[f"features.{i}.block.{j}.fc2.bias"] = rng.randn(exp).astype(np.float32)
+            j += 1
+        convbn(f"features.{i}.block.{j}", exp, cout, 1)
+        cin = cout
+    convbn("features.12", 96, 576, 1)
+    return sd
+
+
+def test_convert_and_apply():
+    sd = synthetic_torchvision_state_dict()
+    params, stats = convert_mobilenetv3_small_state_dict(sd)
+
+    model = MobileNetV3Small()
+    x = jnp.zeros((1, 64, 64, 3))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+
+    # shapes line up leaf-for-leaf with the real module tree
+    key = lambda item: jax.tree_util.keystr(item[0])
+    ref_p = sorted(jax.tree_util.tree_leaves_with_path(variables["params"]), key=key)
+    new_p = sorted(jax.tree_util.tree_leaves_with_path(params), key=key)
+    assert len(ref_p) == len(new_p)
+    for (pa, a), (pb, b) in zip(ref_p, new_p):
+        assert jax.tree_util.keystr(pa) == jax.tree_util.keystr(pb)
+        assert a.shape == b.shape, f"{pa}: {a.shape} vs {b.shape}"
+
+    # forward runs with the imported weights
+    out = model.apply(
+        {"params": params, "batch_stats": stats}, x, train=False
+    )
+    assert out.shape == (1, 2, 2, 576)
+
+
+def test_load_into_vicreg_tree():
+    from inverse_audio_synthesis_tpu.models import AudioEmbedding
+
+    sd = synthetic_torchvision_state_dict()
+    converted = convert_mobilenetv3_small_state_dict(sd)
+    model = AudioEmbedding(dim=16, image_size=(64, 96))
+    audio = jnp.zeros((1, 1, 3 * 64 * 96))
+    variables = model.init(jax.random.PRNGKey(0), audio, train=False)
+    new_vars = load_into_audio_embedding(variables, converted)
+    y = model.apply(new_vars, audio, train=False)
+    assert y.shape == (1, 16)
