@@ -1,0 +1,73 @@
+"""TPU-first reformulations of the synth's two bandwidth-critical primitives.
+
+1. ``chunked_cumsum`` — cumulative sum along the (long) time axis, decomposed as
+   within-chunk prefix sums via a lower-triangular MATMUL (MXU work, one pass) plus a
+   chunk-total cumsum at chunk rate (tiny). XLA lowers a plain ``jnp.cumsum`` over
+   176,400 samples to a many-pass reduce-window scan — ~10× more HBM traffic. Exact up
+   to float association.
+
+2. ``linear_upsample`` — linear interpolation from control rate to audio rate for
+   integer ratios, expressed as (reshape → broadcast lerp) instead of a gather-based
+   ``jax.image.resize``. Matches resize's half-pixel/edge-clamp semantics exactly
+   (tested ≤1e-6) while fusing into neighboring elementwise work.
+
+These keep the entire Voice render graph elementwise+matmul: the only remaining
+sequential op is a cumsum at CONTROL rate (1,764 elements), so XLA can fuse the
+audio-rate path into a handful of HBM passes. The Pallas fused-render kernel builds on
+the same decomposition (no sequential carry needed → fully parallel grid).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@lru_cache(maxsize=16)
+def _lower_triangular(n: int) -> np.ndarray:
+    return np.tril(np.ones((n, n), dtype=np.float32))
+
+
+def chunked_cumsum(x: jax.Array, chunk: int = 128) -> jax.Array:
+    """Cumulative sum over the last axis; last axis must be divisible by ``chunk``."""
+    *lead, t = x.shape
+    if t % chunk != 0 or t <= chunk:
+        return jnp.cumsum(x, axis=-1)
+    n_chunks = t // chunk
+    xc = x.reshape(*lead, n_chunks, chunk)
+    # within-chunk inclusive prefix sum as x @ upper-tri == tril @ x^T; use dot with
+    # the transposed lower-triangular so the contraction hits the MXU
+    tri = jnp.asarray(_lower_triangular(chunk))  # tri[i, j] = j <= i
+    within = jnp.einsum(
+        "...nc,dc->...nd", xc, tri, preferred_element_type=jnp.float32
+    )
+    # chunk offsets: exclusive cumsum of chunk totals (chunk-rate, tiny)
+    totals = within[..., -1]
+    offsets = jnp.cumsum(totals, axis=-1) - totals
+    return (within + offsets[..., None]).reshape(*lead, t)
+
+
+def linear_upsample(control: jax.Array, n_out: int) -> jax.Array:
+    """[..., Tc] → [..., n_out] by linear interpolation with half-pixel centers
+    (identical to jax.image.resize(method='linear') / torch interpolate
+    align_corners=False) for integer n_out/Tc ratios."""
+    *lead, tc = control.shape
+    if n_out % tc != 0:
+        return jax.image.resize(control, (*control.shape[:-1], n_out), method="linear")
+    r = n_out // tc
+    if r == 1:
+        return control
+    # output sample j of block k sits at source position (k*r + j + 0.5)/r - 0.5
+    #   = k + (j + 0.5)/r - 0.5 ⇒ frac w.r.t. source cell k is (j+0.5)/r - 0.5
+    j = (jnp.arange(r, dtype=jnp.float32) + 0.5) / r - 0.5  # in [-0.5, 0.5)
+    left = control  # f[k]
+    prev = jnp.concatenate([control[..., :1], control[..., :-1]], axis=-1)  # f[k-1]
+    nxt = jnp.concatenate([control[..., 1:], control[..., -1:]], axis=-1)  # f[k+1]
+    w = jnp.abs(j)  # interpolation weight toward the neighbor (prev if j<0 else next)
+    out = left[..., :, None] * (1.0 - w) + jnp.where(
+        j < 0, prev[..., :, None], nxt[..., :, None]
+    ) * w
+    return out.reshape(*lead, n_out)

@@ -17,6 +17,8 @@ from typing import Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from inverse_audio_synthesis_tpu.ops.scan_ops import chunked_cumsum, linear_upsample
+
 _EPS = 1e-9
 
 
@@ -134,7 +136,9 @@ def _vco_argument(
         (midi_f0 + tuning)[:, None] + mod_depth[:, None] * pitch_mod, 0.0, 127.0
     )
     freq = midi_to_hz(control_as_midi)
-    argument = jnp.cumsum(2.0 * jnp.pi * freq / sample_rate, axis=1)
+    # audio-rate phase integration: chunked cumsum keeps this a single MXU pass
+    # instead of XLA's multi-pass scan over 176k samples
+    argument = chunked_cumsum(2.0 * jnp.pi * freq / sample_rate)
     return argument + initial_phase[:, None], control_as_midi
 
 
@@ -197,6 +201,6 @@ def audio_mixer(levels: jax.Array, signals: jax.Array) -> jax.Array:
 
 def upsample_control(control: jax.Array, n_audio_samples: int) -> jax.Array:
     """Linear interpolation from control rate to audio rate (half-pixel centers,
-    matching torch F.interpolate(mode='linear', align_corners=False))."""
-    b, _ = control.shape
-    return jax.image.resize(control, (b, n_audio_samples), method="linear")
+    matching torch F.interpolate(mode='linear', align_corners=False)); expressed as a
+    fusable broadcast-lerp for integer ratios instead of a gather-based resize."""
+    return linear_upsample(control, n_audio_samples)

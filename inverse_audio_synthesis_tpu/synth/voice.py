@@ -187,9 +187,12 @@ def render_voice(params01: jax.Array, config: SynthConfig) -> jax.Array:
 def sample_voice_params(batch_num, config: SynthConfig) -> jax.Array:
     """Deterministic per-batch-number parameter draw: [B, 78] uniform in [0, 1]."""
     key = jax.random.fold_in(jax.random.PRNGKey(config.seed), batch_num)
-    return jax.random.uniform(
+    params01 = jax.random.uniform(
         key, (config.batch_size, len(VOICE_PARAM_SPECS)), dtype=jnp.float32
     )
+    # Without a barrier XLA rematerializes the threefry draw into every audio-rate
+    # consumer of every parameter (measured 60× slowdown of the fused render on TPU).
+    return jax.lax.optimization_barrier(params01)
 
 
 def is_train_split(batch_num, config: SynthConfig) -> jax.Array:
