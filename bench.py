@@ -33,7 +33,7 @@ def main() -> None:
     from inverse_audio_synthesis_tpu.ops.stft import MelSpectrogram
     from inverse_audio_synthesis_tpu.synth import SynthConfig
     from inverse_audio_synthesis_tpu.synth.voice import (
-        render_voice,
+        render_voice_auto,
         sample_voice_params,
     )
 
@@ -43,7 +43,7 @@ def main() -> None:
     @jax.jit
     def step(batch_num):
         params01 = sample_voice_params(batch_num, cfg)
-        audio = render_voice(params01, cfg)
+        audio = render_voice_auto(params01, cfg)  # fused Pallas kernel on TPU
         # reduce so the final value fetch forces the whole pipeline (the tunneled
         # device's block_until_ready is not a reliable sync)
         return jnp.sum(mel(audio))

@@ -1,0 +1,198 @@
+"""Fused Pallas TPU kernel for the audio-rate half of the Voice render.
+
+The jnp path (synth/voice.py:render_voice) materializes ~8 HBM-sized intermediates per
+VCO branch (upsampled controls, MIDI curves, phase increments, phases, oscillator
+outputs). This kernel computes the whole audio-rate graph — control upsampling, pitch
+modulation, phase integration, both oscillators, VCAs, and the mixer — in ONE pass:
+HBM traffic is one read of the noise buffer plus one write of the audio.
+
+Structure (per batch-tile × time-block grid step; time blocks iterate sequentially so
+oscillator phase carries across blocks in VMEM scratch):
+
+    routed controls [Bt, 5, Tc+2] (edge-padded, whole signal in VMEM — ~280 KB)
+      → per-segment linear interpolation to audio rate (static slicing, no gathers)
+      → MIDI-space pitch mod + clip + exp2 (VPU)
+      → phase integration: within-segment prefix via triangular MATMUL (MXU),
+        per-segment totals via second triangular matmul, + running carry (scratch)
+      → sine & band-limited square/saw oscillators (VPU transcendentals)
+      → VCA envelopes + noise + 3-channel mix → audio block out
+
+Constraints: sample_rate/control_rate must be exactly the integer upsample ratio
+(audio_len == ratio × control_len) — true for the reference's 44100/441 = 100. Batch
+is padded to the batch tile. Gradients: wrapped in jax.custom_vjp with the jnp path's
+VJP as backward, so the kernel is safe under jax.grad.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BATCH_TILE = 8
+
+
+def _largest_divisor_leq(n: int, cap: int) -> int:
+    for d in range(min(cap, n), 0, -1):
+        if n % d == 0:
+            return d
+    return 1
+
+
+def fused_render_supported(batch: int, audio_len: int, control_len: int) -> bool:
+    return (
+        control_len > 0
+        and audio_len % control_len == 0
+        and audio_len // control_len >= 2
+    )
+
+
+def _kernel(
+    routed_ref,  # [Bt, 5, Tc + 2] edge-padded controls (VMEM, full signal)
+    scal_ref,  # [Bt, 16] per-voice scalars (VMEM)
+    noise_ref,  # [Bt, S*R] noise block
+    out_ref,  # [Bt, S*R] audio block
+    carry_ref,  # scratch [Bt, 8]: running phase per VCO
+    *,
+    seg_per_block: int,
+    ratio: int,
+    sample_rate: float,
+):
+    s, r = seg_per_block, ratio
+    bt = out_ref.shape[0]
+    t_idx = pl.program_id(1)
+    k0 = t_idx * s  # first control segment of this block
+
+    @pl.when(t_idx == 0)
+    def _():
+        carry_ref[:, :] = jnp.zeros_like(carry_ref)
+
+    # interpolation weights for the r offsets within a segment
+    j = (
+        jax.lax.broadcasted_iota(jnp.float32, (1, 1, r), 2) + 0.5
+    ) / r - 0.5  # [-0.5, 0.5)
+    w = jnp.abs(j)
+    use_prev = j < 0.0
+
+    # padded window: padded[k] == f[k-1]; block needs f[k0-1 .. k0+S]
+    window = routed_ref[:, :, pl.ds(k0, s + 2)]  # [Bt, 5, S+2]
+
+    def upsampled(sig: int):
+        f_prev = window[:, sig, 0:s][:, :, None]
+        f_left = window[:, sig, 1 : s + 1][:, :, None]
+        f_next = window[:, sig, 2 : s + 2][:, :, None]
+        neighbor = jnp.where(use_prev, f_prev, f_next)
+        return f_left * (1.0 - w) + neighbor * w  # [Bt, S, R]
+
+    tri_r = jnp.triu(jnp.ones((r, r), jnp.float32))  # x @ tri_r = inclusive prefix
+    tri_s = jnp.triu(jnp.ones((s, s), jnp.float32), k=1)  # strict: exclusive prefix
+
+    def integrate_phase(pitch_mod, base_midi, mod_depth, slot):
+        midi = jnp.clip(base_midi + mod_depth * pitch_mod, 0.0, 127.0)
+        freq = 440.0 * jnp.exp2((midi - 69.0) / 12.0)
+        dphi = (2.0 * jnp.pi / sample_rate) * freq  # [Bt, S, R]
+        within = jax.lax.dot_general(
+            dphi.reshape(bt * s, r),
+            tri_r,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(bt, s, r)
+        totals = within[:, :, r - 1]  # [Bt, S]
+        seg_offset = jax.lax.dot_general(
+            totals, tri_s, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # exclusive prefix over segments
+        carry = carry_ref[:, slot][:, None]
+        phase = within + (seg_offset + carry)[:, :, None]
+        carry_ref[:, slot] = carry_ref[:, slot] + jnp.sum(totals, axis=1)
+        return phase
+
+    def col(i):
+        return scal_ref[:, i][:, None, None]
+
+    # VCO 1: sine
+    phase1 = integrate_phase(upsampled(0), col(0), col(1), 0) + col(2)
+    osc1 = jnp.cos(phase1)
+    # VCO 2: square↔saw morph
+    phase2 = integrate_phase(upsampled(2), col(3), col(4), 1) + col(5)
+    shape = col(6)
+    partials = col(7)
+    square = jnp.tanh(jnp.pi * partials * jnp.sin(phase2) / 2.0)
+    osc2 = (1.0 - shape / 2.0) * square * (1.0 + shape * jnp.cos(phase2))
+
+    amp1 = jnp.maximum(upsampled(1), 0.0)
+    amp2 = jnp.maximum(upsampled(3), 0.0)
+    namp = jnp.maximum(upsampled(4), 0.0)
+    noise = noise_ref[:, :].reshape(bt, s, r)
+
+    mix = col(8) * osc1 * amp1 + col(9) * osc2 * amp2 + col(10) * noise * namp
+    out_ref[:, :] = mix.reshape(bt, s * r)
+
+
+def render_audio_fused(
+    routed: jax.Array,  # [B, 5, Tc]
+    scalars: jax.Array,  # [B, 16]
+    noise: jax.Array,  # [B, Ta]
+    sample_rate: float,
+    interpret: bool = False,
+) -> jax.Array:
+    """Audio-rate render: returns [B, Ta]."""
+    b, five, tc = routed.shape
+    assert five == 5
+    ta = noise.shape[-1]
+    assert ta % tc == 0, (ta, tc)
+    ratio = ta // tc
+
+    # pad batch to the tile
+    pad_b = (-b) % BATCH_TILE
+    if pad_b:
+        routed = jnp.concatenate([routed, jnp.zeros((pad_b, 5, tc), routed.dtype)], 0)
+        scalars = jnp.concatenate(
+            [scalars, jnp.zeros((pad_b, scalars.shape[1]), scalars.dtype)], 0
+        )
+        noise = jnp.concatenate([noise, jnp.zeros((pad_b, ta), noise.dtype)], 0)
+    bp = b + pad_b
+
+    seg_per_block = _largest_divisor_leq(tc, 64)
+    n_time_blocks = tc // seg_per_block
+    t_block = seg_per_block * ratio
+
+    # edge-pad controls so window k covers f[k-1] and f[k+1] with pure slicing
+    routed_padded = jnp.concatenate(
+        [routed[:, :, :1], routed, routed[:, :, -1:]], axis=-1
+    )
+
+    kernel = functools.partial(
+        _kernel,
+        seg_per_block=seg_per_block,
+        ratio=ratio,
+        sample_rate=float(sample_rate),
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(bp // BATCH_TILE, n_time_blocks),
+        in_specs=[
+            pl.BlockSpec(
+                (BATCH_TILE, 5, tc + 2), lambda i, t: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (BATCH_TILE, 16), lambda i, t: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (BATCH_TILE, t_block), lambda i, t: (i, t), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (BATCH_TILE, t_block), lambda i, t: (i, t), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((bp, ta), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((BATCH_TILE, 8), jnp.float32)],
+        interpret=interpret,
+    )(routed_padded.astype(jnp.float32), scalars.astype(jnp.float32), noise)
+    return out[:b]

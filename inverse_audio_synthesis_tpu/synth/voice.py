@@ -37,6 +37,7 @@ Known deviations from torchsynth (documented, unavoidable or intentional):
 from __future__ import annotations
 
 from collections import OrderedDict
+from functools import partial
 from typing import Dict, Optional, Tuple
 
 import jax
@@ -129,13 +130,15 @@ def _natural(params01: jax.Array) -> Dict[str, Dict[str, jax.Array]]:
     return out
 
 
-def render_voice(params01: jax.Array, config: SynthConfig) -> jax.Array:
-    """[B, 78] normalized params → [B, buffer_size] audio. Pure; jit/vmap/grad-safe."""
+def compute_controls(params01: jax.Array, config: SynthConfig):
+    """Control-rate half of the Voice graph (cheap: [B, 5, Tc] + per-voice scalars).
+
+    Returns (natural_params, routed [B, 5, Tc], midi_f0 [B]). The audio-rate half
+    (upsample → VCOs → VCA → mix) consumes this — either the jnp path below or the
+    fused Pallas kernel (ops/pallas/render.py)."""
     assert params01.ndim == 2 and params01.shape[1] == len(VOICE_PARAM_SPECS)
     cr = float(config.control_rate)
-    sr = float(config.sample_rate)
     tc = config.control_buffer_size
-    ta = config.buffer_size
     p = _natural(params01.astype(jnp.float32))
 
     midi_f0 = p["keyboard"]["midi_f0"]
@@ -160,13 +163,20 @@ def render_voice(params01: jax.Array, config: SynthConfig) -> jax.Array:
         axis=1,
     )  # [B, 4, 5]
     routed = modules.modulation_mixer(w, mods)  # [B, 5, Tc]
+    return p, routed, midi_f0
+
+
+def render_voice(params01: jax.Array, config: SynthConfig) -> jax.Array:
+    """[B, 78] normalized params → [B, buffer_size] audio. Pure; jit/vmap/grad-safe."""
+    sr = float(config.sample_rate)
+    ta = config.buffer_size
     b = params01.shape[0]
-    routed_audio = modules.upsample_control(routed.reshape(b * 5, tc), ta).reshape(
-        b, 5, ta
-    )
-    vco_1_pitch, vco_1_amp, vco_2_pitch, vco_2_amp, noise_amp = (
-        routed_audio[:, i] for i in range(5)
-    )
+    p, routed, midi_f0 = compute_controls(params01, config)
+
+    # upsample each routed signal separately (packing + slicing the stack makes XLA
+    # rematerialize the whole control graph per consumer)
+    up = [modules.upsample_control(routed[:, i], ta) for i in range(5)]
+    vco_1_pitch, vco_1_amp, vco_2_pitch, vco_2_amp, noise_amp = up
 
     vco_1 = modules.vca(
         modules.sine_vco(p["vco_1"], midi_f0, vco_1_pitch, sr), vco_1_amp
@@ -182,6 +192,79 @@ def render_voice(params01: jax.Array, config: SynthConfig) -> jax.Array:
         [p["mixer"]["vco_1"], p["mixer"]["vco_2"], p["mixer"]["noise"]], axis=1
     )
     return modules.audio_mixer(levels, jnp.stack([vco_1, vco_2, noise_sig], axis=1))
+
+
+def _fused_scalars(p, midi_f0: jax.Array) -> jax.Array:
+    """Pack the per-voice scalars the fused kernel consumes ([B, 16])."""
+    base1 = midi_f0 + p["vco_1"]["tuning"]
+    base2 = midi_f0 + p["vco_2"]["tuning"]
+    max_pitch = base2 + jnp.maximum(p["vco_2"]["mod_depth"], 0.0)
+    max_f0 = modules.midi_to_hz(max_pitch)
+    denom = max_f0 * jnp.log10(jnp.maximum(max_f0, 1.0 + 1e-6))
+    partials = 12000.0 / jnp.maximum(denom, 1e-9)
+    cols = [
+        base1,
+        p["vco_1"]["mod_depth"],
+        p["vco_1"]["initial_phase"],
+        base2,
+        p["vco_2"]["mod_depth"],
+        p["vco_2"]["initial_phase"],
+        p["vco_2"]["shape"],
+        partials,
+        p["mixer"]["vco_1"],
+        p["mixer"]["vco_2"],
+        p["mixer"]["noise"],
+    ]
+    out = jnp.stack(cols, axis=1)
+    return jnp.pad(out, ((0, 0), (0, 16 - out.shape[1])))
+
+
+def _render_voice_fused_impl(params01, config: SynthConfig, interpret: bool):
+    from inverse_audio_synthesis_tpu.ops.pallas.render import render_audio_fused
+
+    p, routed, midi_f0 = compute_controls(params01, config)
+    scalars = _fused_scalars(p, midi_f0)
+    noise = modules.noise(
+        jax.random.PRNGKey(config.noise_seed), params01.shape[0], config.buffer_size
+    )
+    return render_audio_fused(
+        routed, scalars, noise, float(config.sample_rate), interpret=interpret
+    )
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def render_voice_fused(params01, config: SynthConfig, interpret: bool = False):
+    """Single-HBM-pass Pallas render (see ops/pallas/render.py). Same semantics as
+    ``render_voice`` up to float association in the phase integration; differentiable
+    via the jnp path's VJP."""
+    return _render_voice_fused_impl(params01, config, interpret)
+
+
+def _fused_fwd(params01, config, interpret):
+    return _render_voice_fused_impl(params01, config, interpret), params01
+
+
+def _fused_bwd(config, interpret, params01, g):
+    _, vjp = jax.vjp(lambda q: render_voice(q, config), params01)
+    return (vjp(g)[0],)
+
+
+render_voice_fused.defvjp(_fused_fwd, _fused_bwd)
+
+
+def fused_render_available(config: SynthConfig) -> bool:
+    from inverse_audio_synthesis_tpu.ops.pallas.render import fused_render_supported
+
+    return fused_render_supported(
+        config.batch_size, config.buffer_size, config.control_buffer_size
+    )
+
+
+def render_voice_auto(params01, config: SynthConfig) -> jax.Array:
+    """Fused Pallas render on TPU when the geometry allows, else the jnp path."""
+    if fused_render_available(config) and jax.default_backend() == "tpu":
+        return render_voice_fused(params01, config)
+    return render_voice(params01, config)
 
 
 def sample_voice_params(batch_num, config: SynthConfig) -> jax.Array:

@@ -32,11 +32,12 @@ from flax.training import train_state
 from inverse_audio_synthesis_tpu.models import AudioRepresentationToParams
 from inverse_audio_synthesis_tpu.ops.stft import MelSpectrogram, multi_resolution_stft_loss
 from inverse_audio_synthesis_tpu.parallel.mesh import param_shardings, shard_batch
-from inverse_audio_synthesis_tpu.synth.voice import render_voice, sample_voice_params
+from inverse_audio_synthesis_tpu.synth.voice import sample_voice_params
 from inverse_audio_synthesis_tpu.train.optim import make_optimizer
 from inverse_audio_synthesis_tpu.train.pretrain import (
     TrainState,
     VicregPretrainTask,
+    make_render_fn,
     synth_config_from_cfg,
 )
 
@@ -73,6 +74,7 @@ class AudioToParamsTask:
             mel_scale=cfg.mel.mel_scale,
             power=cfg.mel.power,
         )
+        self._render = make_render_fn(self.synth, mesh)
         self._dropout_base = jax.random.PRNGKey(cfg.seed + 2)
         self.train_step = jax.jit(self._train_step, donate_argnums=0)
         self.test_step = jax.jit(self._test_step)
@@ -108,7 +110,7 @@ class AudioToParamsTask:
 
     def _synthesize(self, batch_num):
         params01 = shard_batch(sample_voice_params(batch_num, self.synth), self.mesh)
-        audio = shard_batch(render_voice(params01, self.synth), self.mesh)
+        audio = shard_batch(self._render(params01), self.mesh)
         return audio[:, None, :], params01
 
     def _shared(self, head_variables, audio, params01, train, dropout_key=None):
@@ -167,7 +169,7 @@ class AudioToParamsTask:
             variables, audio, params01, train=False
         )
         # resynthesize from predicted params — pure function, same program
-        pred_audio = render_voice(pred_params.astype(jnp.float32), self.synth)
+        pred_audio = self._render(pred_params.astype(jnp.float32))
         true_audio = audio[:, 0, :]
         metrics = {
             "audio_to_params/test/loss": repr_loss,

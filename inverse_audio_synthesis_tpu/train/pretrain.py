@@ -29,12 +29,34 @@ from inverse_audio_synthesis_tpu.models import (
 from inverse_audio_synthesis_tpu.models.vicreg import parse_projector_spec
 from inverse_audio_synthesis_tpu.parallel.mesh import param_shardings, shard_batch
 from inverse_audio_synthesis_tpu.synth import SynthConfig
-from inverse_audio_synthesis_tpu.synth.voice import render_voice, sample_voice_params
+from inverse_audio_synthesis_tpu.synth.voice import sample_voice_params
 from inverse_audio_synthesis_tpu.train.optim import make_optimizer
 
 
 class TrainState(train_state.TrainState):
     batch_stats: Any = None
+
+
+def make_render_fn(synth_cfg: SynthConfig, mesh):
+    """Render function for this mesh: the fused Pallas kernel on a single-data-shard
+    TPU mesh; otherwise the jnp path, which GSPMD partitions across chips (a raw
+    pallas_call cannot be auto-partitioned, and shard-local noise keying would
+    duplicate noise rows across shards)."""
+    import jax
+
+    from inverse_audio_synthesis_tpu.synth.voice import (
+        fused_render_available,
+        render_voice,
+        render_voice_fused,
+    )
+
+    if (
+        fused_render_available(synth_cfg)
+        and jax.default_backend() == "tpu"
+        and mesh.shape["data"] == 1
+    ):
+        return lambda p: render_voice_fused(p, synth_cfg)
+    return lambda p: render_voice(p, synth_cfg)
 
 
 def synth_config_from_cfg(cfg, batch_size: int) -> SynthConfig:
@@ -85,6 +107,7 @@ class VicregPretrainTask:
         self.tx, self.schedule = make_optimizer(
             cfg.vicreg.optim, cfg.vicreg.batch_size, cfg.vicreg.get("scheduler")
         )
+        self._render = make_render_fn(self.synth, mesh)
         self._dropout_base = jax.random.PRNGKey(cfg.seed + 1)
         self.train_step = jax.jit(self._train_step, donate_argnums=0)
         self.val_step = jax.jit(self._eval_step)
@@ -108,7 +131,7 @@ class VicregPretrainTask:
     def _synthesize(self, batch_num):
         params01 = sample_voice_params(batch_num, self.synth)
         params01 = shard_batch(params01, self.mesh)
-        audio = shard_batch(render_voice(params01, self.synth), self.mesh)
+        audio = shard_batch(self._render(params01), self.mesh)
         return audio[:, None, :], params01
 
     def _losses(self, x, y):
