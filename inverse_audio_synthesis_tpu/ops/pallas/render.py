@@ -37,11 +37,8 @@ from jax.experimental.pallas import tpu as pltpu
 BATCH_TILE = 8
 
 
-def _largest_divisor_leq(n: int, cap: int) -> int:
-    for d in range(min(cap, n), 0, -1):
-        if n % d == 0:
-            return d
-    return 1
+def _round_up(n: int, m: int) -> int:
+    return -(-n // m) * m
 
 
 def fused_render_supported(batch: int, audio_len: int, control_len: int) -> bool:
@@ -53,11 +50,11 @@ def fused_render_supported(batch: int, audio_len: int, control_len: int) -> bool
 
 
 def _kernel(
-    routed_ref,  # [Bt, 5, Tc + 2] edge-padded controls (VMEM, full signal)
+    window_ref,  # [Bt, 1, 5, S + 2] edge-padded control window for this time block
     scal_ref,  # [Bt, 16] per-voice scalars (VMEM)
-    noise_ref,  # [Bt, S*R] noise block
-    out_ref,  # [Bt, S*R] audio block
-    carry_ref,  # scratch [Bt, 8]: running phase per VCO
+    noise_ref,  # [Bt, S, R] noise block
+    out_ref,  # [Bt, S, R] audio block
+    carry_ref,  # scratch [Bt, 128]: running phase per VCO (slots 0/1)
     *,
     seg_per_block: int,
     ratio: int,
@@ -66,21 +63,21 @@ def _kernel(
     s, r = seg_per_block, ratio
     bt = out_ref.shape[0]
     t_idx = pl.program_id(1)
-    k0 = t_idx * s  # first control segment of this block
 
     @pl.when(t_idx == 0)
     def _():
         carry_ref[:, :] = jnp.zeros_like(carry_ref)
 
-    # interpolation weights for the r offsets within a segment
+    # interpolation weights for the r offsets within a segment (iota must be int on TPU)
     j = (
-        jax.lax.broadcasted_iota(jnp.float32, (1, 1, r), 2) + 0.5
+        jax.lax.broadcasted_iota(jnp.int32, (1, 1, r), 2).astype(jnp.float32) + 0.5
     ) / r - 0.5  # [-0.5, 0.5)
     w = jnp.abs(j)
     use_prev = j < 0.0
 
-    # padded window: padded[k] == f[k-1]; block needs f[k0-1 .. k0+S]
-    window = routed_ref[:, :, pl.ds(k0, s + 2)]  # [Bt, 5, S+2]
+    # window[k] == f[k0 + k - 1]: covers f[k0-1 .. k0+S] (windows built host-side so
+    # the lane slice is static — Mosaic can't prove dynamic lane alignment)
+    window = window_ref[:, 0]  # [Bt, 5, S+2]
 
     def upsampled(sig: int):
         f_prev = window[:, sig, 0:s][:, :, None]
@@ -92,24 +89,37 @@ def _kernel(
     tri_r = jnp.triu(jnp.ones((r, r), jnp.float32))  # x @ tri_r = inclusive prefix
     tri_s = jnp.triu(jnp.ones((s, s), jnp.float32), k=1)  # strict: exclusive prefix
 
+    two_pi = 2.0 * jnp.pi
+
     def integrate_phase(pitch_mod, base_midi, mod_depth, slot):
+        """Phase (mod 2π-equivalent) — offsets and carry are wrapped so fp32 trig
+        stays accurate (unwrapped phase would reach ~1e5 rad)."""
         midi = jnp.clip(base_midi + mod_depth * pitch_mod, 0.0, 127.0)
         freq = 440.0 * jnp.exp2((midi - 69.0) / 12.0)
         dphi = (2.0 * jnp.pi / sample_rate) * freq  # [Bt, S, R]
+        # HIGHEST precision: the MXU otherwise truncates fp32 operands to bf16, and
+        # the resulting per-segment phase error accumulates audibly through the carry
         within = jax.lax.dot_general(
             dphi.reshape(bt * s, r),
             tri_r,
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         ).reshape(bt, s, r)
-        totals = within[:, :, r - 1]  # [Bt, S]
-        seg_offset = jax.lax.dot_general(
-            totals, tri_s, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # exclusive prefix over segments
+        totals = jnp.mod(within[:, :, r - 1], two_pi)  # [Bt, S]
+        seg_offset = jnp.mod(
+            jax.lax.dot_general(
+                totals, tri_s, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            ),
+            two_pi,
+        )  # exclusive prefix over segments, wrapped
         carry = carry_ref[:, slot][:, None]
-        phase = within + (seg_offset + carry)[:, :, None]
-        carry_ref[:, slot] = carry_ref[:, slot] + jnp.sum(totals, axis=1)
+        phase = within + jnp.mod(seg_offset + carry, two_pi)[:, :, None]
+        carry_ref[:, slot] = jnp.mod(
+            carry_ref[:, slot] + jnp.mod(jnp.sum(totals, axis=1), two_pi), two_pi
+        )
         return phase
 
     def col(i):
@@ -128,10 +138,10 @@ def _kernel(
     amp1 = jnp.maximum(upsampled(1), 0.0)
     amp2 = jnp.maximum(upsampled(3), 0.0)
     namp = jnp.maximum(upsampled(4), 0.0)
-    noise = noise_ref[:, :].reshape(bt, s, r)
+    noise = noise_ref[:, :, :]
 
     mix = col(8) * osc1 * amp1 + col(9) * osc2 * amp2 + col(10) * noise * namp
-    out_ref[:, :] = mix.reshape(bt, s * r)
+    out_ref[:, :, :] = mix
 
 
 def render_audio_fused(
@@ -158,14 +168,38 @@ def render_audio_fused(
         noise = jnp.concatenate([noise, jnp.zeros((pad_b, ta), noise.dtype)], 0)
     bp = b + pad_b
 
-    seg_per_block = _largest_divisor_leq(tc, 64)
-    n_time_blocks = tc // seg_per_block
+    # Mosaic wants the last block dim % 128 == 0: pick seg_per_block so that
+    # seg_per_block*ratio is lane-aligned, then pad time up to the block grid
+    # (44.1 kHz buffers are never 128-aligned; padded tail is sliced off).
+    seg_per_block = (128 // ratio) * ratio if ratio >= 128 else _seg_for_ratio(ratio)
     t_block = seg_per_block * ratio
+    tc_padded = _round_up(tc, seg_per_block)
+    ta_padded = tc_padded * ratio
+    n_time_blocks = tc_padded // seg_per_block
 
-    # edge-pad controls so window k covers f[k-1] and f[k+1] with pure slicing
+    if ta_padded > ta:
+        noise = jnp.concatenate(
+            [noise, jnp.zeros((bp, ta_padded - ta), noise.dtype)], axis=-1
+        )
+    # Mosaic can't shape-cast across the lane dim in-kernel: hand the kernel 3-D
+    # [B, segments, ratio] layouts and reshape outside
+    noise3 = noise.reshape(bp, tc_padded, ratio)
+    # edge-pad controls: +1 left (f[k-1]), +1 right (f[k+1]) plus segment-grid padding,
+    # then materialize the per-block overlapping windows host-side ([B, nT, 5, S+2],
+    # tiny) — in-kernel dynamic lane slices can't be proven 128-aligned by Mosaic
+    right_pad = tc_padded - tc + 1
     routed_padded = jnp.concatenate(
-        [routed[:, :, :1], routed, routed[:, :, -1:]], axis=-1
-    )
+        [routed[:, :, :1], routed]
+        + [jnp.repeat(routed[:, :, -1:], right_pad, axis=-1)],
+        axis=-1,
+    )  # [B, 5, tc_padded + 2]
+    windows = jnp.stack(
+        [
+            routed_padded[:, :, t * seg_per_block : t * seg_per_block + seg_per_block + 2]
+            for t in range(n_time_blocks)
+        ],
+        axis=1,
+    )  # [B, nT, 5, S+2]
 
     kernel = functools.partial(
         _kernel,
@@ -178,21 +212,34 @@ def render_audio_fused(
         grid=(bp // BATCH_TILE, n_time_blocks),
         in_specs=[
             pl.BlockSpec(
-                (BATCH_TILE, 5, tc + 2), lambda i, t: (i, 0, 0),
+                (BATCH_TILE, 1, 5, seg_per_block + 2), lambda i, t: (i, t, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (BATCH_TILE, 16), lambda i, t: (i, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (BATCH_TILE, t_block), lambda i, t: (i, t), memory_space=pltpu.VMEM
+                (BATCH_TILE, seg_per_block, ratio), lambda i, t: (i, t, 0),
+                memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (BATCH_TILE, t_block), lambda i, t: (i, t), memory_space=pltpu.VMEM
+            (BATCH_TILE, seg_per_block, ratio), lambda i, t: (i, t, 0),
+            memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((bp, ta), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((BATCH_TILE, 8), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((bp, tc_padded, ratio), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((BATCH_TILE, 128), jnp.float32)],
         interpret=interpret,
-    )(routed_padded.astype(jnp.float32), scalars.astype(jnp.float32), noise)
-    return out[:b]
+    )(windows.astype(jnp.float32), scalars.astype(jnp.float32), noise3)
+    return out.reshape(bp, ta_padded)[:b, :ta]
+
+
+def _seg_for_ratio(ratio: int) -> int:
+    """Smallest segment count S with S*ratio % 128 == 0 and S*ratio around 4-8k."""
+    import math
+
+    s = 128 // math.gcd(ratio, 128)
+    # grow to a reasonable block size (≥ 4096 samples) for DMA efficiency
+    while s * ratio < 4096:
+        s *= 2
+    return s

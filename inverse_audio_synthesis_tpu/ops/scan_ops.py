@@ -42,11 +42,39 @@ def chunked_cumsum(x: jax.Array, chunk: int = 128) -> jax.Array:
     # the transposed lower-triangular so the contraction hits the MXU
     tri = jnp.asarray(_lower_triangular(chunk))  # tri[i, j] = j <= i
     within = jnp.einsum(
-        "...nc,dc->...nd", xc, tri, preferred_element_type=jnp.float32
+        "...nc,dc->...nd", xc, tri, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,  # fp32-exact prefix (no bf16 MXU passes)
     )
     # chunk offsets: exclusive cumsum of chunk totals (chunk-rate, tiny)
     totals = within[..., -1]
     offsets = jnp.cumsum(totals, axis=-1) - totals
+    return (within + offsets[..., None]).reshape(*lead, t)
+
+
+def phase_cumsum(dphi: jax.Array, chunk: int = 128) -> jax.Array:
+    """Cumulative phase with 2π-wrapped chunk offsets.
+
+    An oscillator phase accumulated over 176k samples reaches ~1e5 rad; fp32 cos then
+    loses all accuracy to range reduction (eps(1e5) ≈ 0.008 rad, and hardware
+    polynomial approximations degrade far worse). Since cos/sin are 2π-periodic,
+    wrapping the *additive offsets* modulo 2π is exact — the result stays ≤ chunk·dφmax
+    + 2π, where fp32 trig is accurate. Returns phases equivalent to cumsum(dphi) mod 2π
+    for use inside periodic functions only."""
+    two_pi = 2.0 * jnp.pi
+    *lead, t = dphi.shape
+    if t % chunk != 0 or t <= chunk:
+        within = jnp.cumsum(dphi, axis=-1)
+        # single chunk: still wrap the running values' integer-period part
+        return jnp.mod(within, two_pi)
+    n_chunks = t // chunk
+    xc = dphi.reshape(*lead, n_chunks, chunk)
+    tri = jnp.asarray(_lower_triangular(chunk))
+    within = jnp.einsum(
+        "...nc,dc->...nd", xc, tri, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    totals = jnp.mod(within[..., -1], two_pi)
+    offsets = jnp.mod(jnp.cumsum(totals, axis=-1) - totals, two_pi)
     return (within + offsets[..., None]).reshape(*lead, t)
 
 

@@ -17,7 +17,11 @@ from typing import Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from inverse_audio_synthesis_tpu.ops.scan_ops import chunked_cumsum, linear_upsample
+from inverse_audio_synthesis_tpu.ops.scan_ops import (
+    chunked_cumsum,
+    linear_upsample,
+    phase_cumsum,
+)
 
 _EPS = 1e-9
 
@@ -136,9 +140,9 @@ def _vco_argument(
         (midi_f0 + tuning)[:, None] + mod_depth[:, None] * pitch_mod, 0.0, 127.0
     )
     freq = midi_to_hz(control_as_midi)
-    # audio-rate phase integration: chunked cumsum keeps this a single MXU pass
-    # instead of XLA's multi-pass scan over 176k samples
-    argument = chunked_cumsum(2.0 * jnp.pi * freq / sample_rate)
+    # audio-rate phase integration: chunked prefix on the MXU with 2π-wrapped offsets —
+    # unwrapped phase reaches ~1e5 rad where fp32 trig loses all accuracy
+    argument = phase_cumsum(2.0 * jnp.pi * freq / sample_rate)
     return argument + initial_phase[:, None], control_as_midi
 
 

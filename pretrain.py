@@ -33,10 +33,19 @@ def app(cfg) -> None:
     mesh = create_mesh(cfg.mesh.data, cfg.mesh.model)
     print(f"devices: {jax.devices()}  mesh: {dict(mesh.shape)}")
 
+    from inverse_audio_synthesis_tpu.utils.profiling import enable_nan_debugging
+    from inverse_audio_synthesis_tpu.utils.summary import (
+        filter_range_stats,
+        summarize_params,
+    )
+
+    if cfg.get("detect_anomaly"):
+        enable_nan_debugging()
+
     task = VicregPretrainTask(cfg, mesh)
     state = task.init_state()
-    n_params = sum(p.size for p in jax.tree_util.tree_leaves(state.params))
-    print(f"model parameters: {n_params:,}")
+    # startup model summary (reference prints torchinfo summaries, pretrain.py:63-78)
+    print(summarize_params(state.params, max_depth=2))
 
     logger = MetricsLogger(
         run_dir=cfg.get("run_dir", "runs"),
@@ -58,6 +67,15 @@ def app(cfg) -> None:
         val_check_interval=cfg.vicreg.get("val_check_interval"),
         log_every=cfg.get("log_every", 50),
     )
+    # PQMF filter-range diagnostic on a real clip when available (working version of
+    # the reference's dead plot_filter_range, pretrain.py:29-48)
+    daddy = Path("/root/reference/daddy.wav")
+    if daddy.exists():
+        from inverse_audio_synthesis_tpu.utils.audio_io import read_wav
+
+        clip, _ = read_wav(daddy)
+        logger.log(filter_range_stats(clip.mean(axis=1)[:176400]))
+
     start = checkpoint.latest_step()
     if start:
         print(f"resuming from checkpoint step {start}")
