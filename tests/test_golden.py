@@ -1,0 +1,45 @@
+"""Golden regression values for the synth: pins the seed→params→audio contract so any
+accidental semantic change (param table order, curve warps, DSP math, PRNG keying)
+fails loudly. Values recorded from the CPU fp32 jnp path (2026-08-16)."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from inverse_audio_synthesis_tpu.synth import SynthConfig
+from inverse_audio_synthesis_tpu.synth.voice import render_voice, sample_voice_params
+
+CFG = SynthConfig(batch_size=2, buffer_size_seconds=1.0)
+
+GOLDEN_PARAMS_ROW0_HEAD = [
+    0.9268351793289185,
+    0.4362906217575073,
+    0.5545579195022583,
+    0.44604945182800293,
+    0.6956034898757935,
+    0.8668047189712524,
+]
+GOLDEN_AUDIO_ROW0_22050 = [
+    0.9902714490890503,
+    0.6760078072547913,
+    -0.6897236108779907,
+    -0.2686462998390198,
+    0.4550056755542755,
+    -0.25794562697410583,
+]
+GOLDEN_RMS = [0.6319786906242371, 0.6535094976425171]
+
+
+def test_golden_params():
+    p = np.asarray(sample_voice_params(1234, CFG))
+    np.testing.assert_allclose(p[0, :6], GOLDEN_PARAMS_ROW0_HEAD, atol=1e-6)
+
+
+def test_golden_audio():
+    p = sample_voice_params(1234, CFG)
+    a = np.asarray(render_voice(p, CFG))
+    np.testing.assert_allclose(
+        a[0, 22050:22056], GOLDEN_AUDIO_ROW0_22050, atol=2e-3
+    )
+    rms = [float(np.sqrt((a[i] ** 2).mean())) for i in range(2)]
+    np.testing.assert_allclose(rms, GOLDEN_RMS, rtol=1e-3)

@@ -1,0 +1,63 @@
+"""Trainer loop integration: fit with logging, val cadence, checkpoint save/resume."""
+
+import json
+
+import numpy as np
+import pytest
+
+from inverse_audio_synthesis_tpu.parallel.mesh import create_mesh
+from inverse_audio_synthesis_tpu.train.checkpoint import CheckpointManager
+from inverse_audio_synthesis_tpu.train.loop import Trainer
+from inverse_audio_synthesis_tpu.train.pretrain import VicregPretrainTask
+from inverse_audio_synthesis_tpu.train.runsetup import BatchNumberSplit
+from inverse_audio_synthesis_tpu.utils.logging import MetricsLogger
+from inverse_audio_synthesis_tpu.utils.summary import param_count, summarize_params
+
+from test_train import tiny_cfg
+
+
+def test_fit_end_to_end(tmp_path):
+    cfg = tiny_cfg()
+    mesh = create_mesh(data=8, model=1)
+    task = VicregPretrainTask(cfg, mesh)
+    state = task.init_state()
+
+    split = BatchNumberSplit(num_batches=100, ntest_batches=1, seed=42)
+    logger = MetricsLogger(run_dir=str(tmp_path), run_name="t")
+    ckpt = CheckpointManager(str(tmp_path / "ck"), every_n_steps=2, keep=2)
+    trainer = Trainer(
+        task,
+        split,
+        logger=logger,
+        checkpoint=ckpt,
+        limit_train_batches=4,
+        limit_val_batches=1,
+        val_check_interval=2,
+        log_every=1,
+    )
+    state = trainer.fit(state)
+    logger.finish()
+
+    lines = [json.loads(l) for l in open(tmp_path / "t" / "metrics.jsonl")]
+    train_lines = [l for l in lines if "vicreg/train/loss" in l]
+    val_lines = [l for l in lines if "vicreg/validation/loss" in l]
+    assert len(train_lines) == 4
+    assert len(val_lines) == 2  # steps 2 and 4
+    assert all(np.isfinite(l["vicreg/train/loss"]) for l in train_lines)
+    assert "voices_per_sec" in train_lines[0]
+
+    # checkpoints at cadence + final save_last
+    assert ckpt.latest_step() == 4
+    restored = trainer.task.val_step(ckpt.restore(state), 0)
+    assert np.isfinite(float(restored["vicreg/validation/loss"]))
+
+
+def test_summary_counts():
+    cfg = tiny_cfg()
+    mesh = create_mesh(data=8, model=1)
+    task = VicregPretrainTask(cfg, mesh)
+    state = task.init_state()
+    text = summarize_params(state.params, max_depth=2)
+    total = param_count(state.params)
+    assert f"{total:,}" in text
+    assert "projector" in text
