@@ -24,6 +24,14 @@ class SynthConfig:
     # seed for the fixed noise buffer (torchsynth Voice uses a fixed-seed Noise module)
     noise_seed: int = 13
 
+    def __post_init__(self):
+        # torchsynth semantics: reproducible (synth1B1) mode requires the canonical
+        # batch size of 128 so batch numbers index the same 128-voice batches
+        if self.reproducible and self.batch_size != 128:
+            raise ValueError(
+                f"reproducible=True requires batch_size=128, got {self.batch_size}"
+            )
+
     @property
     def buffer_size(self) -> int:
         return int(round(self.buffer_size_seconds * self.sample_rate))
