@@ -263,7 +263,7 @@ def fused_render_available(config: SynthConfig) -> bool:
 def render_voice_auto(params01, config: SynthConfig) -> jax.Array:
     """Fused Pallas render on TPU when the geometry allows, else the jnp path."""
     if fused_render_available(config) and jax.default_backend() == "tpu":
-        return render_voice_fused(params01, config)
+        return render_voice_fused(params01, config, False)
     return render_voice(params01, config)
 
 

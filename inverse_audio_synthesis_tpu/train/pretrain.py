@@ -55,7 +55,7 @@ def make_render_fn(synth_cfg: SynthConfig, mesh):
         and jax.default_backend() == "tpu"
         and mesh.shape["data"] == 1
     ):
-        return lambda p: render_voice_fused(p, synth_cfg)
+        return lambda p: render_voice_fused(p, synth_cfg, False)
     return lambda p: render_voice(p, synth_cfg)
 
 

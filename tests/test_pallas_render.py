@@ -51,18 +51,20 @@ def test_fused_batch_padding():
 
 
 def test_fused_grad_uses_jnp_vjp():
+    """The fused kernel's backward IS the jnp path's VJP: with an identical cotangent
+    both must produce identical gradients. (Comparing jax.grad of the two losses is
+    ill-conditioned: ∂cos(ωt)/∂ω has amplitude t ≈ 4e4, so the tiny forward phase
+    jitter between implementations decorrelates pitch-parameter grads by design.)"""
     params = sample_voice_params(3, CFG)
+    cot = jax.random.normal(jax.random.PRNGKey(0), (CFG.batch_size, CFG.buffer_size))
 
-    def loss(q):
-        return jnp.mean(render_voice_fused(q, CFG, True) ** 2)
-
-    g = np.asarray(jax.grad(loss)(params))
-    g_ref = np.asarray(jax.grad(lambda q: jnp.mean(render_voice(q, CFG) ** 2))(params))
+    _, vjp_fused = jax.vjp(lambda q: render_voice_fused(q, CFG, True), params)
+    _, vjp_jnp = jax.vjp(lambda q: render_voice(q, CFG), params)
+    g = np.asarray(vjp_fused(cot)[0])
+    g_ref = np.asarray(vjp_jnp(cot)[0])
     assert np.isfinite(g).all()
-    # the cotangent flows from the fused forward (which differs from the jnp forward
-    # by phase-rounding jitter), so compare directionally rather than elementwise
-    denom = np.linalg.norm(g) * np.linalg.norm(g_ref) + 1e-12
-    cosine = float(np.sum(g * g_ref) / denom)
-    assert cosine > 0.99, cosine
-    rel_l2 = np.linalg.norm(g - g_ref) / (np.linalg.norm(g_ref) + 1e-12)
-    assert rel_l2 < 0.3, rel_l2  # phase-sensitive elements jitter; direction is what matters
+    np.testing.assert_allclose(g, g_ref, rtol=1e-4, atol=1e-5)
+
+    # and jax.grad through the fused loss is finite end-to-end
+    gl = jax.grad(lambda q: jnp.mean(render_voice_fused(q, CFG, True) ** 2))(params)
+    assert np.isfinite(np.asarray(gl)).all()
