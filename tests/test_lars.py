@@ -1,0 +1,53 @@
+"""LARS parity: optax.lars configured as in train/optim.py reproduces the classic
+LARS update rule lightning-flash implements (trust_coefficient · ||w|| / (||g|| +
+wd·||w||) scaling, weight decay added to the gradient, zero momentum — the way the
+reference calls it: vicreg_audio_params.py:134-142)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from inverse_audio_synthesis_tpu.train.optim import make_optimizer
+
+
+def flash_lars_update(w, g, lr, weight_decay, trust_coefficient=0.001, eps=1e-8):
+    g = g + weight_decay * w
+    w_norm = np.linalg.norm(w)
+    g_norm = np.linalg.norm(g)
+    if w_norm > 0 and g_norm > 0:
+        local_lr = trust_coefficient * w_norm / (g_norm + eps)
+    else:
+        local_lr = 1.0
+    return -lr * local_lr * g
+
+
+def test_lars_matches_flash_formula():
+    rng = np.random.RandomState(0)
+    w = rng.randn(16, 8).astype(np.float32)
+    g = rng.randn(16, 8).astype(np.float32) * 0.1
+
+    batch_size = 64
+    base_lr = 2.0
+    wd = 1e-6
+    tx, schedule = make_optimizer(
+        {"name": "lars", "args": {"base_lr": base_lr, "weight_decay": wd}}, batch_size
+    )
+    params = {"w": jnp.asarray(w)}
+    state = tx.init(params)
+    updates, _ = tx.update({"w": jnp.asarray(g)}, state, params)
+
+    lr = batch_size / 256.0 * base_lr
+    expected = flash_lars_update(w, g, lr, wd)
+    np.testing.assert_allclose(np.asarray(updates["w"]), expected, rtol=1e-4, atol=1e-7)
+
+
+def test_lars_weight_decay_applied():
+    tx, _ = make_optimizer(
+        {"name": "lars", "args": {"base_lr": 2.0, "weight_decay": 0.1}}, 256
+    )
+    params = {"w": jnp.ones((4, 4))}
+    state = tx.init(params)
+    upd_zero_grad, _ = tx.update({"w": jnp.zeros((4, 4))}, state, params)
+    # with zero gradient, the update is pure (trust-scaled) weight decay — nonzero
+    assert float(jnp.abs(upd_zero_grad["w"]).max()) > 0
