@@ -15,7 +15,6 @@ from inverse_audio_synthesis_tpu.utils.config import load_config
 
 def app(cfg) -> None:
     import jax
-    import jax.numpy as jnp
 
     if cfg.get("platform"):
         jax.config.update("jax_platforms", cfg.platform)

@@ -14,8 +14,7 @@ host only sees a scalar "improved" mask per chunk.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Dict, Optional, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

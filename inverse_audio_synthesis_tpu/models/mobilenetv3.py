@@ -15,7 +15,7 @@ checkpoint from ``vision_weights_path`` when provided, else random init.
 
 from __future__ import annotations
 
-from typing import Any, Sequence, Tuple
+from typing import Any, Tuple
 
 import flax.linen as nn
 import jax

@@ -26,8 +26,6 @@ VJP as backward, so the kernel is safe under jax.grad.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -16,7 +16,6 @@ against /root/reference/pqmf.py directly).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Tuple
 
 import jax

@@ -13,7 +13,6 @@ power spectrogram, HTK mel scale with slaney area normalization.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional, Sequence, Tuple
 
 import jax

@@ -12,16 +12,12 @@ the same math.
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
 
-from inverse_audio_synthesis_tpu.ops.scan_ops import (
-    chunked_cumsum,
-    linear_upsample,
-    phase_cumsum,
-)
+from inverse_audio_synthesis_tpu.ops.scan_ops import linear_upsample, phase_cumsum
 
 _EPS = 1e-9
 

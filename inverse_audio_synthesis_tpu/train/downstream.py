@@ -23,7 +23,7 @@ Voice is used only at test time, which crashes if the sizes differ
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, Dict, Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -77,7 +77,11 @@ class AudioToParamsTask:
         self._render = make_render_fn(self.synth, mesh)
         self._dropout_base = jax.random.PRNGKey(cfg.seed + 2)
         self.train_step = jax.jit(self._train_step, donate_argnums=0)
-        self.test_step = jax.jit(self._test_step)
+        # the test pass is two programs (prediction / resynthesis+spectral metrics):
+        # one fused program's HLO exceeds the remote-compile request limit on the
+        # tunneled TPU, and there is no fusion win across the boundary anyway
+        self._test_predict = jax.jit(self._test_predict_impl)
+        self._test_metrics = jax.jit(self._test_metrics_impl)
 
     def init_state(self, key: Optional[jax.Array] = None) -> TrainState:
         key = key if key is not None else jax.random.PRNGKey(self.cfg.seed)
@@ -162,18 +166,18 @@ class AudioToParamsTask:
         }
         return state, metrics
 
-    def _test_step(self, state: TrainState, batch_num):
+    def _test_predict_impl(self, state: TrainState, batch_num):
         audio, params01 = self._synthesize(batch_num)
         variables = {"params": state.params, "batch_stats": state.batch_stats}
         pred_params, repr_loss, frozen_loss, _ = self._shared(
             variables, audio, params01, train=False
         )
-        # resynthesize from predicted params — pure function, same program
+        return audio[:, 0, :], params01, pred_params, repr_loss, frozen_loss
+
+    def _test_metrics_impl(self, true_audio, params01, pred_params):
+        # resynthesize from predicted params — a pure function call
         pred_audio = self._render(pred_params.astype(jnp.float32))
-        true_audio = audio[:, 0, :]
         metrics = {
-            "audio_to_params/test/loss": repr_loss,
-            "audio_to_params/test/frozen_vicreg_loss": frozen_loss,
             "audio_to_params/test/mel_l1": jnp.mean(
                 jnp.abs(self.mel(pred_audio) - self.mel(true_audio))
             ),
@@ -183,6 +187,18 @@ class AudioToParamsTask:
             "audio_to_params/test/param_mae": jnp.mean(
                 jnp.abs(pred_params - params01)
             ),
+        }
+        return metrics, pred_audio
+
+    def test_step(self, state: TrainState, batch_num):
+        true_audio, params01, pred_params, repr_loss, frozen_loss = self._test_predict(
+            state, batch_num
+        )
+        metrics, pred_audio = self._test_metrics(true_audio, params01, pred_params)
+        metrics = {
+            "audio_to_params/test/loss": repr_loss,
+            "audio_to_params/test/frozen_vicreg_loss": frozen_loss,
+            **metrics,
         }
         return metrics, true_audio, pred_audio
 

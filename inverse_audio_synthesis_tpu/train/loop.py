@@ -11,10 +11,8 @@ from __future__ import annotations
 
 import math
 import time
-from typing import Any, Callable, Dict, Optional
+from typing import Any, Dict, Optional
 
-import jax
-import numpy as np
 
 from inverse_audio_synthesis_tpu.train.checkpoint import CheckpointManager
 from inverse_audio_synthesis_tpu.train.runsetup import BatchNumberSplit

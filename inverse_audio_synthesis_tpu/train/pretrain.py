@@ -17,7 +17,6 @@ from typing import Any, Dict, Optional, Tuple
 import flax
 import jax
 import jax.numpy as jnp
-import optax
 from flax.training import train_state
 
 from inverse_audio_synthesis_tpu.models import (
