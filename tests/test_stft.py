@@ -89,3 +89,32 @@ def test_spectrogram_power():
     p1 = np.asarray(spectrogram(x, power=1.0, n_fft=512, hop_length=256))
     p2 = np.asarray(spectrogram(x, power=2.0, n_fft=512, hop_length=256))
     np.testing.assert_allclose(p1**2, p2, rtol=1e-4, atol=1e-5)
+
+
+def test_conv_spectrogram_matches_fft():
+    from inverse_audio_synthesis_tpu.ops.stft import power_spectrogram_conv
+
+    x = jnp.asarray(_sine(440.0, t=0.5))[None, :]
+    ref = np.asarray(spectrogram(x, power=2.0, n_fft=1024, hop_length=512))
+    # fp32 conv path first (isolates formulation from precision)
+    exact = np.asarray(
+        power_spectrogram_conv(
+            x, n_fft=1024, hop_length=512, compute_dtype=jnp.float32
+        )
+    )
+    assert exact.shape == ref.shape
+    np.testing.assert_allclose(exact, ref, atol=1e-2, rtol=1e-3)
+    # bf16 path: relative accuracy ~1e-2 on the power spectrum
+    approx = np.asarray(power_spectrogram_conv(x, n_fft=1024, hop_length=512))
+    rel = np.abs(approx - ref) / (np.abs(ref) + 1e-3 * ref.max())
+    assert np.median(rel) < 0.05
+
+
+def test_mel_conv_method():
+    mel_fft = MelSpectrogram(44100, 1024, None, 512, n_mels=64)
+    mel_conv = MelSpectrogram(44100, 1024, None, 512, n_mels=64, method="conv_bf16")
+    x = jnp.asarray(np.random.RandomState(5).randn(2, 22050).astype(np.float32))
+    a, b = np.asarray(mel_fft(x)), np.asarray(mel_conv(x))
+    assert a.shape == b.shape
+    rel = np.abs(a - b) / (np.abs(a) + 1e-3 * a.max())
+    assert np.median(rel) < 0.05
