@@ -86,11 +86,14 @@ class RetrievalEvaluator:
         log_every_improvement: bool = True,
     ) -> Dict[str, np.ndarray]:
         prev = np.asarray(self.best_dist)
+        history = []  # per-chunk min-distance snapshots (the reference's convergence
+        # curves, evaluate_audio_representations.py:234-243)
         for i in range(n_batches):
             improved = self.step(i + 1)  # batch 0 is the query batch
             cur = np.asarray(self.best_dist)
             assert (cur <= prev + 1e-6).all(), "min distance must be monotone"
             prev = cur
+            history.append(cur.copy())
             if logger is not None and log_every_improvement and improved.any():
                 for q in np.nonzero(improved)[0]:
                     silence = np.zeros(sample_rate // 2, np.float32)
@@ -108,4 +111,5 @@ class RetrievalEvaluator:
             "best_dist": np.asarray(self.best_dist),
             "best_audio": np.asarray(self.best_audio),
             "query_audio": np.asarray(self.query_audio),
+            "history": np.stack(history) if history else np.zeros((0,)),
         }

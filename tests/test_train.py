@@ -136,3 +136,17 @@ def test_checkpoint_roundtrip(tmp_path, task):
         jax.tree_util.tree_leaves(restored.params),
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_train_determinism(task):
+    """Same seed + same batch stream ⇒ identical loss sequence (the reference's
+    seed_everything/deterministic=True contract)."""
+    losses = []
+    for _ in range(2):
+        state = task.init_state()
+        seq = []
+        for i in range(3):
+            state, m = task.train_step(state, 100 + i)
+            seq.append(float(m["vicreg/train/loss"]))
+        losses.append(seq)
+    assert losses[0] == losses[1]
