@@ -38,7 +38,14 @@ def main() -> None:
     )
 
     cfg = SynthConfig(batch_size=BATCH_SIZE)
-    mel = MelSpectrogram(sample_rate=cfg.sample_rate, n_fft=1024, hop_length=512, n_mels=128)
+    mel = MelSpectrogram(
+        sample_rate=cfg.sample_rate,
+        n_fft=1024,
+        hop_length=512,
+        n_mels=128,
+        # on TPU the windowed-DFT conv (bf16 MXU) beats gather-framing + rfft
+        method="conv_bf16" if jax.default_backend() == "tpu" else "fft",
+    )
 
     @jax.jit
     def step(batch_num):
