@@ -76,12 +76,18 @@ class AudioToParamsTask:
         )
         self._render = make_render_fn(self.synth, mesh)
         self._dropout_base = jax.random.PRNGKey(cfg.seed + 2)
-        self.train_step = jax.jit(self._train_step, donate_argnums=0)
+        # NB: the frozen tower variables are passed as ARGUMENTS to the jitted steps —
+        # closing over them bakes all 173M params into the HLO as literal constants
+        # (692 MB serialized, breaking the remote-compile request limit)
+        self._train_step_jit = jax.jit(self._train_step, donate_argnums=0)
         # the test pass is two programs (prediction / resynthesis+spectral metrics):
-        # one fused program's HLO exceeds the remote-compile request limit on the
-        # tunneled TPU, and there is no fusion win across the boundary anyway
+        # one fused program's HLO would also exceed the compile request limit, and
+        # there is no fusion win across the boundary anyway
         self._test_predict = jax.jit(self._test_predict_impl)
         self._test_metrics = jax.jit(self._test_metrics_impl)
+
+    def train_step(self, state: TrainState, batch_num):
+        return self._train_step_jit(state, batch_num, self.frozen)
 
     def init_state(self, key: Optional[jax.Array] = None) -> TrainState:
         key = key if key is not None else jax.random.PRNGKey(self.cfg.seed)
@@ -96,19 +102,19 @@ class AudioToParamsTask:
         return jax.device_put(state, param_shardings(state, self.mesh))
 
     # -- frozen tower helpers ----------------------------------------------------
-    def _audio_repr(self, audio):
+    def _audio_repr(self, frozen, audio):
         return self.vicreg_model.apply(
-            self.frozen, audio, train=False, method=self.vicreg_model.audio_repr
+            frozen, audio, train=False, method=self.vicreg_model.audio_repr
         )
 
-    def _embed_params(self, params01):
+    def _embed_params(self, frozen, params01):
         return self.vicreg_model.apply(
-            self.frozen, params01, train=False, method=self.vicreg_model.embed_params
+            frozen, params01, train=False, method=self.vicreg_model.embed_params
         )
 
-    def _project_repr(self, repr_):
+    def _project_repr(self, frozen, repr_):
         return self.vicreg_model.apply(
-            self.frozen, repr_, train=False,
+            frozen, repr_, train=False,
             method=lambda m, r, train: m.projector(r, train=train),
         )
 
@@ -117,9 +123,9 @@ class AudioToParamsTask:
         audio = shard_batch(self._render(params01), self.mesh)
         return audio[:, None, :], params01
 
-    def _shared(self, head_variables, audio, params01, train, dropout_key=None):
-        audio_repr = self._audio_repr(audio)
-        true_emb = self._embed_params(params01)
+    def _shared(self, frozen, head_variables, audio, params01, train, dropout_key=None):
+        audio_repr = self._audio_repr(frozen, audio)
+        true_emb = self._embed_params(frozen, params01)
         rngs = {"dropout": dropout_key} if train else None
         if train:
             pred_params, mutated = self.head.apply(
@@ -131,28 +137,28 @@ class AudioToParamsTask:
                 head_variables, audio_repr.astype(jnp.float32), train=False
             )
             mutated = None
-        pred_emb = self._embed_params(pred_params)
+        pred_emb = self._embed_params(frozen, pred_params)
         repr_loss = jnp.mean(
             (true_emb.astype(jnp.float32) - pred_emb.astype(jnp.float32)) ** 2
         )
         frozen_loss = jnp.mean(
             (
                 true_emb.astype(jnp.float32)
-                - self._project_repr(audio_repr).astype(jnp.float32)
+                - self._project_repr(frozen, audio_repr).astype(jnp.float32)
             )
             ** 2
         )
         return pred_params, repr_loss, frozen_loss, mutated
 
     # -- steps ---------------------------------------------------------------------
-    def _train_step(self, state: TrainState, batch_num):
+    def _train_step(self, state: TrainState, batch_num, frozen):
         audio, params01 = self._synthesize(batch_num)
         dropout_key = jax.random.fold_in(self._dropout_base, state.step)
 
         def loss_fn(params):
             variables = {"params": params, "batch_stats": state.batch_stats}
             _, repr_loss, frozen_loss, mutated = self._shared(
-                variables, audio, params01, train=True, dropout_key=dropout_key
+                frozen, variables, audio, params01, train=True, dropout_key=dropout_key
             )
             return repr_loss, (mutated["batch_stats"], frozen_loss)
 
@@ -166,11 +172,11 @@ class AudioToParamsTask:
         }
         return state, metrics
 
-    def _test_predict_impl(self, state: TrainState, batch_num):
+    def _test_predict_impl(self, state: TrainState, batch_num, frozen):
         audio, params01 = self._synthesize(batch_num)
         variables = {"params": state.params, "batch_stats": state.batch_stats}
         pred_params, repr_loss, frozen_loss, _ = self._shared(
-            variables, audio, params01, train=False
+            frozen, variables, audio, params01, train=False
         )
         return audio[:, 0, :], params01, pred_params, repr_loss, frozen_loss
 
@@ -192,7 +198,7 @@ class AudioToParamsTask:
 
     def test_step(self, state: TrainState, batch_num):
         true_audio, params01, pred_params, repr_loss, frozen_loss = self._test_predict(
-            state, batch_num
+            state, batch_num, self.frozen
         )
         metrics, pred_audio = self._test_metrics(true_audio, params01, pred_params)
         metrics = {
