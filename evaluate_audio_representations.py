@@ -46,12 +46,9 @@ def app(cfg) -> None:
     predict_bs = cfg.get_dotted("retrieval.predict_batch_size", 1024)
     n_batches = cfg.get_dotted("retrieval.n_batches", 100)
 
-    def embed(audio):
+    def embed(variables, audio):
         return task.model.apply(
-            {"params": state.params, "batch_stats": state.batch_stats},
-            audio,
-            train=False,
-            method=task.model.embed_audio,
+            variables, audio, train=False, method=task.model.embed_audio
         )
 
     logger = MetricsLogger(
@@ -61,6 +58,7 @@ def app(cfg) -> None:
     )
     evaluator = RetrievalEvaluator(
         embed_fn=embed,
+        variables={"params": state.params, "batch_stats": state.batch_stats},
         query_synth=synth_config_from_cfg(cfg, test_bs),
         candidate_synth=synth_config_from_cfg(cfg, predict_bs),
     )

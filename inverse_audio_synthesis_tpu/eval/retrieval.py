@@ -38,30 +38,31 @@ class RetrievalEvaluator:
 
     def __init__(
         self,
-        embed_fn,  # audio [B, 1, T] → embeddings [B, D]
+        embed_fn,  # (variables, audio [B, 1, T]) → embeddings [B, D]
+        variables,  # model variables — passed as a jit ARGUMENT (closing over them
+        #             would bake every parameter into the HLO as literal constants)
         query_synth: SynthConfig,
         candidate_synth: SynthConfig,
         query_batch_num: int = 0,
     ):
         self.embed_fn = embed_fn
+        self.variables = variables
         self.query_synth = query_synth
         self.candidate_synth = candidate_synth
 
         query_params = sample_voice_params(query_batch_num, query_synth)
         self.query_audio = render_voice(query_params, query_synth)
-        self.query_emb = embed_fn(self.query_audio[:, None, :])
+        self.query_emb = embed_fn(variables, self.query_audio[:, None, :])
         n_q = query_synth.batch_size
         self.best_dist = jnp.full((n_q,), jnp.inf, jnp.float32)
         self.best_audio = jnp.zeros((n_q, candidate_synth.buffer_size), jnp.float32)
         self._chunk = jax.jit(self._chunk_step)
 
-    def _chunk_step(self, best_dist, best_audio, batch_num):
+    def _chunk_step(self, variables, query_emb, best_dist, best_audio, batch_num):
         params = sample_voice_params(batch_num, self.candidate_synth)
         audio = render_voice(params, self.candidate_synth)
-        emb = self.embed_fn(audio[:, None, :])
-        d = cdist(
-            self.query_emb.astype(jnp.float32), emb.astype(jnp.float32)
-        )  # [n_q, B]
+        emb = self.embed_fn(variables, audio[:, None, :])
+        d = cdist(query_emb.astype(jnp.float32), emb.astype(jnp.float32))  # [n_q, B]
         chunk_min = jnp.min(d, axis=1)
         chunk_arg = jnp.argmin(d, axis=1)
         improved = chunk_min < best_dist
@@ -72,7 +73,7 @@ class RetrievalEvaluator:
     def step(self, batch_num: int) -> np.ndarray:
         """Process one candidate batch; returns the per-query improvement mask."""
         self.best_dist, self.best_audio, improved = self._chunk(
-            self.best_dist, self.best_audio, batch_num
+            self.variables, self.query_emb, self.best_dist, self.best_audio, batch_num
         )
         # monotone-convergence invariant (reference asserts this:
         # evaluate_audio_representations.py:238-240)

@@ -80,16 +80,14 @@ def test_cdist_matches_torch():
 def test_retrieval_monotone(pretrain):
     cfg, mesh, pre_task, pre_state = pretrain
 
-    def embed(audio):
+    def embed(variables, audio):
         return pre_task.model.apply(
-            {"params": pre_state.params, "batch_stats": pre_state.batch_stats},
-            audio,
-            train=False,
-            method=pre_task.model.embed_audio,
+            variables, audio, train=False, method=pre_task.model.embed_audio
         )
 
     ev = RetrievalEvaluator(
         embed_fn=embed,
+        variables={"params": pre_state.params, "batch_stats": pre_state.batch_stats},
         query_synth=synth_config_from_cfg(cfg, 4),
         candidate_synth=synth_config_from_cfg(cfg, 8),
     )
