@@ -32,7 +32,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-BATCH_TILE = 8
+BATCH_TILE = 16  # 16 measured ~5% faster than 8 at batch 128; 32 exceeds VMEM
 
 
 def _round_up(n: int, m: int) -> int:
@@ -95,15 +95,22 @@ def _kernel(
         midi = jnp.clip(base_midi + mod_depth * pitch_mod, 0.0, 127.0)
         freq = 440.0 * jnp.exp2((midi - 69.0) / 12.0)
         dphi = (2.0 * jnp.pi / sample_rate) * freq  # [Bt, S, R]
-        # HIGHEST precision: the MXU otherwise truncates fp32 operands to bf16, and
-        # the resulting per-segment phase error accumulates audibly through the carry
-        within = jax.lax.dot_general(
-            dphi.reshape(bt * s, r),
+        # Prefix sum on the MXU. A plain fp32 dot truncates operands to bf16 (phase
+        # drifts audibly); HIGHEST costs 6 passes. Instead decompose dphi into its
+        # per-segment mean (prefix = (j+1)·mean, computed exactly elementwise) plus a
+        # small residual whose bf16 prefix error is ~0.4% of an already-tiny value.
+        mean_s = jnp.mean(dphi, axis=2, keepdims=True)  # [Bt, S, 1]
+        delta = dphi - mean_s
+        within_delta = jax.lax.dot_general(
+            delta.reshape(bt * s, r),
             tri_r,
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
         ).reshape(bt, s, r)
+        ramp = (
+            jax.lax.broadcasted_iota(jnp.int32, (1, 1, r), 2).astype(jnp.float32) + 1.0
+        )
+        within = mean_s * ramp + within_delta
         totals = jnp.mod(within[:, :, r - 1], two_pi)  # [Bt, S]
         seg_offset = jnp.mod(
             jax.lax.dot_general(
