@@ -300,7 +300,7 @@ class Voice:
             (synthconfig.batch_size, len(VOICE_PARAM_SPECS)), 0.5, dtype=jnp.float32
         )
         self._frozen = False
-        self._render = jax.jit(lambda p: render_voice(p, self.synthconfig))
+        self._render = jax.jit(lambda p: render_voice_auto(p, self.synthconfig))
         self._sample = jax.jit(lambda n: sample_voice_params(n, self.synthconfig))
 
     # -- torchsynth-style parameter addressing --------------------------------

@@ -18,6 +18,14 @@ Deviation (documented): the reference generates *training* batches from the pret
 module's Voice — i.e. at the pretrain batch size — while its own downstream-batch-size
 Voice is used only at test time, which crashes if the sizes differ
 (audio_to_params.py:215 vs :240-246). Here both use ``cfg.audio_to_params.batch_size``.
+
+Training losses (``cfg.audio_to_params.loss``):
+- ``"embedding"`` (default): embedding-space MSE, the reference's working objective.
+- ``"mel_l1"``: mel-L1 between the true audio and audio resynthesized from the
+  predicted parameters, backpropagated THROUGH the synthesizer — the experiment the
+  reference left commented out because torchsynth isn't differentiable end-to-end
+  ("TBH this probably won't work...", audio_to_params.py:71-73). The functional synth
+  here is differentiable (tested), so this objective just works.
 """
 
 from __future__ import annotations
@@ -154,13 +162,25 @@ class AudioToParamsTask:
     def _train_step(self, state: TrainState, batch_num, frozen):
         audio, params01 = self._synthesize(batch_num)
         dropout_key = jax.random.fold_in(self._dropout_base, state.step)
+        loss_kind = self.cfg.audio_to_params.get("loss", "embedding")
 
         def loss_fn(params):
             variables = {"params": params, "batch_stats": state.batch_stats}
-            _, repr_loss, frozen_loss, mutated = self._shared(
+            pred_params, repr_loss, frozen_loss, mutated = self._shared(
                 frozen, variables, audio, params01, train=True, dropout_key=dropout_key
             )
-            return repr_loss, (mutated["batch_stats"], frozen_loss)
+            if loss_kind == "mel_l1":
+                # backprop through the synth: render the predicted patch and match
+                # mel spectrograms (jnp render path — differentiable by construction)
+                from inverse_audio_synthesis_tpu.synth.voice import render_voice
+
+                pred_audio = render_voice(pred_params.astype(jnp.float32), self.synth)
+                loss = jnp.mean(
+                    jnp.abs(self.mel(pred_audio) - self.mel(audio[:, 0, :]))
+                )
+            else:
+                loss = repr_loss
+            return loss, (mutated["batch_stats"], frozen_loss)
 
         (loss, (new_stats, frozen_loss)), grads = jax.value_and_grad(
             loss_fn, has_aux=True

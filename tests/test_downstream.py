@@ -95,3 +95,19 @@ def test_retrieval_monotone(pretrain):
     result = ev.run(n_batches=3)
     assert np.isfinite(result["best_dist"]).all()  # all queries matched something
     assert result["best_audio"].shape == (4, ev.candidate_synth.buffer_size)
+
+
+def test_mel_l1_backprop_through_synth(pretrain):
+    """The working version of the reference's commented-out 'backprop through the
+    synth' experiment (audio_to_params.py:56-174)."""
+    cfg, mesh, pre_task, pre_state = pretrain
+    cfg = type(cfg)(cfg.to_dict())  # copy
+    cfg.audio_to_params["loss"] = "mel_l1"
+    task = AudioToParamsTask(cfg, mesh, pre_task, pre_state)
+    state = task.init_state()
+    losses = []
+    for i in range(4):
+        state, m = task.train_step(state, 7)  # same batch repeatedly
+        losses.append(float(m["audio_to_params/train/loss"]))
+        assert np.isfinite(losses[-1])
+    assert losses[-1] < losses[0], losses  # gradients through the synth reduce mel L1
