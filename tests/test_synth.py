@@ -215,3 +215,17 @@ def test_render_jit_and_grad():
     g = jax.grad(loss)(p)
     assert g.shape == p.shape
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_batch_size_invariant_voices():
+    """Row r of batch_num is identical at any batch size (threefry counter-mode
+    prefix property + per-row noise keying). Consequence: a batch number denotes the
+    same underlying voices regardless of task batch size, so train/test membership is
+    batch-size independent — fixing the reference's acknowledged split-leak worry
+    (runsetup.py:24-27: vicreg batch 128 vs downstream batch 4)."""
+    a = sample_voice_params(7, SynthConfig(batch_size=4, buffer_size_seconds=1.0))
+    b = sample_voice_params(7, SynthConfig(batch_size=16, buffer_size_seconds=1.0))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b)[:4])
+    ra = render_voice(a, SynthConfig(batch_size=4, buffer_size_seconds=1.0))
+    rb = render_voice(b, SynthConfig(batch_size=16, buffer_size_seconds=1.0))
+    np.testing.assert_allclose(np.asarray(ra), np.asarray(rb)[:4], atol=1e-5)
