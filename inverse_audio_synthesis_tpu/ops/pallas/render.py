@@ -32,7 +32,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-BATCH_TILE = 16  # 16 measured ~5% faster than 8 at batch 128; 32 exceeds VMEM
+BATCH_TILE = 32  # best measured at batch 128 (8: 8.1ms, 16: 7.1ms, 32: 6.7ms); 64 exceeds VMEM
 
 
 def _round_up(n: int, m: int) -> int:
@@ -130,22 +130,19 @@ def _kernel(
     def col(i):
         return scal_ref[:, i][:, None, None]
 
+    # accumulate sources one at a time to minimize live VMEM intermediates
     # VCO 1: sine
     phase1 = integrate_phase(upsampled(0), col(0), col(1), 0) + col(2)
-    osc1 = jnp.cos(phase1)
+    mix = col(8) * jnp.cos(phase1) * jnp.maximum(upsampled(1), 0.0)
     # VCO 2: square↔saw morph
     phase2 = integrate_phase(upsampled(2), col(3), col(4), 1) + col(5)
     shape = col(6)
     partials = col(7)
     square = jnp.tanh(jnp.pi * partials * jnp.sin(phase2) / 2.0)
     osc2 = (1.0 - shape / 2.0) * square * (1.0 + shape * jnp.cos(phase2))
-
-    amp1 = jnp.maximum(upsampled(1), 0.0)
-    amp2 = jnp.maximum(upsampled(3), 0.0)
-    namp = jnp.maximum(upsampled(4), 0.0)
-    noise = noise_ref[:, :, :]
-
-    mix = col(8) * osc1 * amp1 + col(9) * osc2 * amp2 + col(10) * noise * namp
+    mix = mix + col(9) * osc2 * jnp.maximum(upsampled(3), 0.0)
+    # noise
+    mix = mix + col(10) * noise_ref[:, :, :] * jnp.maximum(upsampled(4), 0.0)
     out_ref[:, :, :] = mix
 
 
