@@ -90,6 +90,7 @@ def vicreg_loss(
     std_coeff: float = 25.0,
     cov_coeff: float = 1.0,
     cov_batch_size: int | None = None,
+    cov_operand_dtype=None,
 ):
     """Returns (loss, repr_loss, std_loss, cov_loss) — reference: vicreg.py:35-58.
 
@@ -100,6 +101,10 @@ def vicreg_loss(
     ``cov_batch_size``: the reference normalizes covariance by its *config* batch size
     (vicreg.py:47-48) even when the runtime batch differs — a documented bug. Pass a
     value to reproduce it bit-for-bit; default None uses the actual batch dimension.
+
+    ``cov_operand_dtype``: optional dtype for the covariance matmul operands (e.g.
+    bf16 when the towers already run bf16 — the two [embeddim × embeddim] dots are the
+    loss's only FLOP-heavy ops and dominate its cost in fp32). Accumulation stays fp32.
     """
     embeddim = x.shape[-1]
     n = x.shape[0]
@@ -116,8 +121,10 @@ def vicreg_loss(
     )
 
     denom = (cov_batch_size if cov_batch_size is not None else n) - 1
-    cov_x = (x.T @ x) / denom
-    cov_y = (y.T @ y) / denom
+    xc = x.astype(cov_operand_dtype) if cov_operand_dtype is not None else x
+    yc = y.astype(cov_operand_dtype) if cov_operand_dtype is not None else y
+    cov_x = jnp.matmul(xc.T, xc, preferred_element_type=jnp.float32) / denom
+    cov_y = jnp.matmul(yc.T, yc, preferred_element_type=jnp.float32) / denom
     cov_loss = off_diagonal_sq_sum(cov_x) / embeddim + off_diagonal_sq_sum(cov_y) / embeddim
 
     loss = sim_coeff * repr_loss + std_coeff * std_loss + cov_coeff * cov_loss

@@ -134,14 +134,17 @@ class VicregPretrainTask:
         return audio[:, None, :], params01
 
     def _losses(self, x, y):
-        # towers may run bf16 on the MXU; the loss statistics (variance/covariance)
-        # always reduce in fp32
+        # towers may run bf16 on the MXU; the loss statistics reduce in fp32. When
+        # towers are bf16, the covariance matmul operands stay bf16 too (fp32 accum) —
+        # the two embeddim×embeddim dots dominate the loss cost otherwise.
+        bf16_towers = self.cfg.get("precision") == "bf16"
         return vicreg_loss(
             x.astype(jnp.float32),
             y.astype(jnp.float32),
             sim_coeff=self.cfg.vicreg.sim_coeff,
             std_coeff=self.cfg.vicreg.std_coeff,
             cov_coeff=self.cfg.vicreg.cov_coeff,
+            cov_operand_dtype=jnp.bfloat16 if bf16_towers else None,
         )
 
     def _train_step(
