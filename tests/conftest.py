@@ -56,3 +56,31 @@ def reference_dir():
     if not has_reference():
         pytest.skip("/root/reference not mounted")
     return REFERENCE_DIR
+
+
+def tiny_overrides(**over):
+    base = {
+        "vicreg": "fast",
+        "dim": 32,
+        "embeddim": 64,
+        "vicreg.mlp": "'64-%d'",
+        "vicreg.batch_size": 8,
+        "image.height": 64,
+        "image.width": 64,
+        "torchsynth.buffer_size_seconds": 3 * 64 * 64 / 44100,
+        "precision": "f32",
+    }
+    base.update(over)
+    return [f"{k}={v}" for k, v in base.items()]
+
+
+@pytest.fixture(scope="session")
+def tiny_task():
+    """One shared tiny VicregPretrainTask on the 8-device CPU mesh — compiling it
+    (init + train/val steps) costs ~40 s, so test modules share a session instance."""
+    from inverse_audio_synthesis_tpu.parallel.mesh import create_mesh
+    from inverse_audio_synthesis_tpu.train.pretrain import VicregPretrainTask
+    from inverse_audio_synthesis_tpu.utils.config import load_config
+
+    cfg = load_config(overrides=tiny_overrides())
+    return VicregPretrainTask(cfg, create_mesh(data=8, model=1))

@@ -19,12 +19,10 @@ from test_train import tiny_cfg
 
 
 @pytest.fixture(scope="module")
-def pretrain():
+def pretrain(tiny_task):
     cfg = tiny_cfg(**{"audio_to_params.batch_size": 8})
-    mesh = create_mesh(data=8, model=1)
-    task = VicregPretrainTask(cfg, mesh)
-    state = task.init_state()
-    return cfg, mesh, task, state
+    state = tiny_task.init_state()
+    return cfg, tiny_task.mesh, tiny_task, state
 
 
 def test_downstream_train_and_test(pretrain):

@@ -14,10 +14,17 @@ from inverse_audio_synthesis_tpu.parallel.mesh import create_mesh
 from test_train import tiny_cfg
 
 
-def test_hear_api():
-    cfg = tiny_cfg()
-    mesh = create_mesh(data=8, model=1)
-    model = load_model(cfg, checkpoint_dir=None, mesh=mesh)
+def test_hear_api(tiny_task):
+    from inverse_audio_synthesis_tpu.eval.hear import HearModel
+
+    cfg = tiny_task.cfg
+    model = HearModel(
+        task=tiny_task,
+        state=tiny_task.init_state(),
+        sample_rate=cfg.torchsynth.rate,
+        scene_embedding_size=cfg.dim,
+        timestamp_embedding_size=cfg.dim,
+    )
     window = model.window_samples
 
     # 2.5 windows of audio → 3 windows after padding

@@ -16,10 +16,8 @@ from inverse_audio_synthesis_tpu.utils.summary import param_count, summarize_par
 from test_train import tiny_cfg
 
 
-def test_fit_end_to_end(tmp_path):
-    cfg = tiny_cfg()
-    mesh = create_mesh(data=8, model=1)
-    task = VicregPretrainTask(cfg, mesh)
+def test_fit_end_to_end(tmp_path, tiny_task):
+    task = tiny_task
     state = task.init_state()
 
     split = BatchNumberSplit(num_batches=100, ntest_batches=1, seed=42)
@@ -52,10 +50,8 @@ def test_fit_end_to_end(tmp_path):
     assert np.isfinite(float(restored["vicreg/validation/loss"]))
 
 
-def test_summary_counts():
-    cfg = tiny_cfg()
-    mesh = create_mesh(data=8, model=1)
-    task = VicregPretrainTask(cfg, mesh)
+def test_summary_counts(tiny_task):
+    task = tiny_task
     state = task.init_state()
     text = summarize_params(state.params, max_depth=2)
     total = param_count(state.params)

@@ -76,10 +76,8 @@ def test_sgd_supported():
 
 
 @pytest.fixture(scope="module")
-def task():
-    cfg = tiny_cfg()
-    mesh = create_mesh(data=8, model=1)
-    return VicregPretrainTask(cfg, mesh)
+def task(tiny_task):
+    return tiny_task
 
 
 def test_train_step_on_8device_mesh(task):
