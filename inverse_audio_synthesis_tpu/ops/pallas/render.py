@@ -40,11 +40,11 @@ def _round_up(n: int, m: int) -> int:
 
 
 def fused_render_supported(batch: int, audio_len: int, control_len: int) -> bool:
-    return (
-        control_len > 0
-        and audio_len % control_len == 0
-        and audio_len // control_len >= 2
-    )
+    if control_len <= 0 or audio_len % control_len != 0:
+        return False
+    ratio = audio_len // control_len
+    # _seg_for_ratio needs ratio in [2, 128] to build a lane-aligned segment block
+    return 2 <= ratio <= 128
 
 
 def _kernel(
@@ -173,7 +173,8 @@ def render_audio_fused(
     # Mosaic wants the last block dim % 128 == 0: pick seg_per_block so that
     # seg_per_block*ratio is lane-aligned, then pad time up to the block grid
     # (44.1 kHz buffers are never 128-aligned; padded tail is sliced off).
-    seg_per_block = (128 // ratio) * ratio if ratio >= 128 else _seg_for_ratio(ratio)
+    assert fused_render_supported(b, ta, tc), (b, ta, tc)
+    seg_per_block = _seg_for_ratio(ratio)
     t_block = seg_per_block * ratio
     tc_padded = _round_up(tc, seg_per_block)
     ta_padded = tc_padded * ratio

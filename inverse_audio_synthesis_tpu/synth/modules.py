@@ -46,7 +46,10 @@ def _ramp(
     st = 0.0 if start is None else (start * rate)[:, None]
     y = jnp.clip((t - st) / jnp.maximum(dur, _EPS), 0.0, 1.0)
     if inverse:
-        y = jnp.where(dur > 0.0, 1.0 - y, y)
+        # always 1−y: with the eps-guarded division a zero duration becomes an
+        # instant 1→0 step at `start`, the correct dur→0+ limit (a dur>0 special
+        # case here inverted the decay/release envelope for ~12% of random voices)
+        y = 1.0 - y
     # safe power: grad of 0**alpha w.r.t. alpha is 0*log(0) = NaN; mask the base
     safe = jnp.where(y > 0.0, y, 1.0)
     return jnp.where(y > 0.0, jnp.power(safe, alpha[:, None]), 0.0)
@@ -150,6 +153,15 @@ def sine_vco(params, midi_f0, pitch_mod, sample_rate) -> jax.Array:
     return jnp.cos(arg)
 
 
+def squaresaw_partials(midi_f0, tuning, mod_depth) -> jax.Array:
+    """Band-limit partials constant from the maximum possible pitch (shared by the
+    jnp oscillator and the fused Pallas kernel's scalar prep)."""
+    max_pitch = midi_f0 + tuning + jnp.maximum(mod_depth, 0.0)
+    max_f0 = midi_to_hz(max_pitch)
+    denom = max_f0 * jnp.log10(jnp.maximum(max_f0, 1.0 + 1e-6))
+    return 12000.0 / jnp.maximum(denom, _EPS)
+
+
 def square_saw_vco(params, midi_f0, pitch_mod, sample_rate) -> jax.Array:
     """Band-limit-aware square↔saw morph: tanh-saturated sine with a partials
     constant chosen from the maximum possible pitch, blended toward saw by ``shape``."""
@@ -157,10 +169,7 @@ def square_saw_vco(params, midi_f0, pitch_mod, sample_rate) -> jax.Array:
         midi_f0, params["tuning"], params["mod_depth"], params["initial_phase"],
         pitch_mod, sample_rate,
     )
-    max_pitch = midi_f0 + params["tuning"] + jnp.maximum(params["mod_depth"], 0.0)
-    max_f0 = midi_to_hz(max_pitch)
-    denom = max_f0 * jnp.log10(jnp.maximum(max_f0, 1.0 + 1e-6))
-    partials = 12000.0 / jnp.maximum(denom, _EPS)
+    partials = squaresaw_partials(midi_f0, params["tuning"], params["mod_depth"])
     shape = params["shape"][:, None]
     square = jnp.tanh(jnp.pi * partials[:, None] * jnp.sin(arg) / 2.0)
     return (1.0 - shape / 2.0) * square * (1.0 + shape * jnp.cos(arg))

@@ -36,7 +36,10 @@ def from_0to1(spec: ParamSpec, x):
     """Normalized [0,1] → natural units."""
     if not spec.symmetric:
         if spec.curve != 1.0:
-            x = jnp.power(x, spec.curve)
+            # safe power: x**curve has an infinite derivative at x = 0 for curve < 1
+            # (matters for grad-through-synth when a sigmoid head saturates to 0)
+            safe = jnp.where(x > 0.0, x, 1.0)
+            x = jnp.where(x > 0.0, jnp.power(safe, spec.curve), 0.0)
         return spec.minimum + (spec.maximum - spec.minimum) * x
     dist = 2.0 * x - 1.0
     # safe power: |d|**curve has an infinite derivative at d = 0 for curve < 1;

@@ -198,10 +198,9 @@ def _fused_scalars(p, midi_f0: jax.Array) -> jax.Array:
     """Pack the per-voice scalars the fused kernel consumes ([B, 16])."""
     base1 = midi_f0 + p["vco_1"]["tuning"]
     base2 = midi_f0 + p["vco_2"]["tuning"]
-    max_pitch = base2 + jnp.maximum(p["vco_2"]["mod_depth"], 0.0)
-    max_f0 = modules.midi_to_hz(max_pitch)
-    denom = max_f0 * jnp.log10(jnp.maximum(max_f0, 1.0 + 1e-6))
-    partials = 12000.0 / jnp.maximum(denom, 1e-9)
+    partials = modules.squaresaw_partials(
+        midi_f0, p["vco_2"]["tuning"], p["vco_2"]["mod_depth"]
+    )
     cols = [
         base1,
         p["vco_1"]["mod_depth"],

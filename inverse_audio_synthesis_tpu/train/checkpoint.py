@@ -63,7 +63,7 @@ class CheckpointManager:
             name = last.read_text().strip()
             if (self.dir / name).exists():
                 return int(name.split("_")[1])
-        steps = sorted(self.dir.glob("step_*"))
+        steps = sorted(d for d in self.dir.glob("step_*") if d.is_dir())
         return int(steps[-1].name.split("_")[1]) if steps else None
 
     def restore(self, target, step: Optional[int] = None):

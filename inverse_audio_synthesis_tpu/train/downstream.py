@@ -180,7 +180,8 @@ class AudioToParamsTask:
                 )
             else:
                 loss = repr_loss
-            return loss, (mutated["batch_stats"], frozen_loss)
+            # Identity-norm heads create no batch_stats collection
+            return loss, (mutated.get("batch_stats", state.batch_stats), frozen_loss)
 
         (loss, (new_stats, frozen_loss)), grads = jax.value_and_grad(
             loss_fn, has_aux=True

@@ -163,17 +163,19 @@ class VicregPretrainTask:
                 mutable=["batch_stats"],
             )
             loss, repr_l, std_l, cov_l = self._losses(x, y)
-            return loss, (mutated["batch_stats"], repr_l, std_l, cov_l)
+            # Identity-norm configs create no batch_stats collection
+            return loss, (mutated.get("batch_stats", state.batch_stats), repr_l, std_l, cov_l)
 
         (loss, (new_stats, repr_l, std_l, cov_l)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params)
-        state = state.apply_gradients(grads=grads, batch_stats=new_stats)
+        # lr of the update being applied (before apply_gradients bumps step)
         lr = (
             self.schedule(state.step)
             if callable(self.schedule)
             else jnp.asarray(self.schedule)
         )
+        state = state.apply_gradients(grads=grads, batch_stats=new_stats)
         metrics = {
             "vicreg/train/loss": loss,
             "vicreg/train/repr_loss": repr_l,
@@ -201,9 +203,12 @@ class VicregPretrainTask:
 
     # -- embedding API (heareval surface, reference: heareval.py:14-15) -----------
     def embed_audio(self, state: TrainState, audio) -> jax.Array:
-        return self.model.apply(
-            {"params": state.params, "batch_stats": state.batch_stats},
-            audio,
-            train=False,
-            method=self.model.audio_repr,
+        if not hasattr(self, "_embed_audio_jit"):
+            self._embed_audio_jit = jax.jit(
+                lambda variables, a: self.model.apply(
+                    variables, a, train=False, method=self.model.audio_repr
+                )
+            )
+        return self._embed_audio_jit(
+            {"params": state.params, "batch_stats": state.batch_stats}, audio
         )

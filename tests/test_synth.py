@@ -229,3 +229,31 @@ def test_batch_size_invariant_voices():
     ra = render_voice(a, SynthConfig(batch_size=4, buffer_size_seconds=1.0))
     rb = render_voice(b, SynthConfig(batch_size=16, buffer_size_seconds=1.0))
     np.testing.assert_allclose(np.asarray(ra), np.asarray(rb)[:4], atol=1e-5)
+
+
+def test_adsr_zero_decay_holds_sustain():
+    """Regression: with attack >= note duration, decay clips to 0 — the envelope must
+    sit at sustain after the (clipped) attack, not invert (code-review finding)."""
+    cr, tc = 100.0, 300
+    params = {
+        "attack": jnp.array([2.0]),   # longer than the 1 s note → decay duration 0
+        "decay": jnp.array([1.0]),
+        "sustain": jnp.array([0.25]),
+        "release": jnp.array([0.5]),
+        "alpha": jnp.array([1.0]),
+    }
+    env = np.asarray(modules.adsr_envelope(params, jnp.array([1.0]), tc, cr))[0]
+    # attack clipped to the 1 s note ramps 0→1; the zero-length decay then drops
+    # instantly to sustain as release begins — before the fix the decay factor was
+    # inverted (0 during attack, 1 after), scaling the whole attack by sustain
+    assert env[0] == pytest.approx(0.0, abs=1e-6)
+    assert env[99] == pytest.approx(0.99, abs=0.02)   # attack nearly complete, NOT ×0.25
+    assert env[101] == pytest.approx(0.245, abs=0.02)  # sustain × release onset
+    assert env[151] == pytest.approx(0.0, abs=1e-6)    # fully released (1 s + 0.5 s)
+
+
+def test_from_0to1_grad_finite_at_zero():
+    """Safe-power gradients at exactly 0/1 for curve-warped params (code-review)."""
+    spec = next(s for s in VOICE_PARAM_SPECS if s.curve == 0.5 and not s.symmetric)
+    g = jax.grad(lambda x: from_0to1(spec, x))(jnp.float32(0.0))
+    assert np.isfinite(float(g))
