@@ -40,18 +40,21 @@ class AudioEmbedding(nn.Module):
     dtype: Any = jnp.float32
 
     def _preprocess(self, audio: jax.Array) -> jax.Array:
-        """[B, 1, T] → NHWC normalized pseudo-image [B, H, W, 3]."""
+        """[B, 1, T] → NHWC normalized pseudo-image [B, H, W, 3].
+
+        The PQMF conv emits band-last directly, so the NHWC image is a pure reshape —
+        pixel (h, w) of channel c equals the reference's NCHW zimg[c, h, w]
+        (audioembed.py:38-41) without the 35 MB transpose copy per direction."""
         h, w = self.image_size
-        z = _pqmf(self.n_bands).analysis(audio)  # [B, 3, T/3]
+        z = _pqmf(self.n_bands).analysis(audio, channels_last=True)  # [B, T/3, 3]
         assert z.shape[1] * z.shape[2] == self.n_bands * h * w, (
             f"audio length {audio.shape[-1]} does not tile into "
             f"{self.n_bands}×{h}×{w}"
         )
-        zimg = z.reshape(-1, self.n_bands, h, w)
-        mean = jnp.asarray(IMAGENET_MEAN, z.dtype)[:, None, None]
-        std = jnp.asarray(IMAGENET_STD, z.dtype)[:, None, None]
-        zimg = (zimg - mean) / std
-        return jnp.transpose(zimg, (0, 2, 3, 1))  # NCHW → NHWC
+        zimg = z.reshape(-1, h, w, self.n_bands)
+        mean = jnp.asarray(IMAGENET_MEAN, z.dtype)
+        std = jnp.asarray(IMAGENET_STD, z.dtype)
+        return (zimg - mean) / std
 
     @nn.compact
     def __call__(self, audio: jax.Array, train: bool = False) -> jax.Array:

@@ -74,14 +74,17 @@ class PQMF:
     def __call__(self, x: jax.Array) -> jax.Array:
         return self.analysis(x)
 
-    def analysis(self, x: jax.Array) -> jax.Array:
+    def analysis(self, x: jax.Array, channels_last: bool = False) -> jax.Array:
+        """[B, 1, T] → [B, n_bands, T/N], or [B, T/N, n_bands] with channels_last
+        (the conv writes the band-last layout directly — no transpose copy, which
+        matters when the bands feed an NHWC vision trunk)."""
         pad = self.taps // 2
         return jax.lax.conv_general_dilated(
             x,
             jnp.asarray(self.H, dtype=x.dtype),
             window_strides=(self.n_bands,),
             padding=[(pad, pad)],
-            dimension_numbers=("NCH", "OIH", "NCH"),
+            dimension_numbers=("NCH", "OIH", "NHC" if channels_last else "NCH"),
         )
 
     def _polyphase_synthesis_kernel(self, g: np.ndarray) -> Tuple[np.ndarray, int]:
