@@ -7,11 +7,8 @@ import jax.numpy as jnp
 from inverse_audio_synthesis_tpu.eval.hear import (
     get_scene_embeddings,
     get_timestamp_embeddings,
-    load_model,
 )
-from inverse_audio_synthesis_tpu.parallel.mesh import create_mesh
 
-from test_train import tiny_cfg
 
 
 def test_hear_api(tiny_task):

@@ -5,15 +5,12 @@ import json
 import numpy as np
 import pytest
 
-from inverse_audio_synthesis_tpu.parallel.mesh import create_mesh
 from inverse_audio_synthesis_tpu.train.checkpoint import CheckpointManager
 from inverse_audio_synthesis_tpu.train.loop import Trainer
-from inverse_audio_synthesis_tpu.train.pretrain import VicregPretrainTask
 from inverse_audio_synthesis_tpu.train.runsetup import BatchNumberSplit
 from inverse_audio_synthesis_tpu.utils.logging import MetricsLogger
 from inverse_audio_synthesis_tpu.utils.summary import param_count, summarize_params
 
-from test_train import tiny_cfg
 
 
 def test_fit_end_to_end(tmp_path, tiny_task):
