@@ -7,13 +7,8 @@ import jax
 import jax.numpy as jnp
 
 from inverse_audio_synthesis_tpu.eval.retrieval import RetrievalEvaluator, cdist
-from inverse_audio_synthesis_tpu.parallel.mesh import create_mesh
 from inverse_audio_synthesis_tpu.train.downstream import AudioToParamsTask
-from inverse_audio_synthesis_tpu.train.pretrain import (
-    VicregPretrainTask,
-    synth_config_from_cfg,
-)
-from inverse_audio_synthesis_tpu.utils.config import load_config
+from inverse_audio_synthesis_tpu.train.pretrain import synth_config_from_cfg
 
 from test_train import tiny_cfg
 

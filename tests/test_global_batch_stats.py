@@ -6,8 +6,6 @@ Under GSPMD the loss is written over the logical batch, so the sharded result mu
 equal the single-device result exactly (up to reduction association)."""
 
 import numpy as np
-import pytest
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P

@@ -4,8 +4,6 @@ wd·||w||) scaling, weight decay added to the gradient, zero momentum — the wa
 reference calls it: vicreg_audio_params.py:134-142)."""
 
 import numpy as np
-import pytest
-
 import jax.numpy as jnp
 
 from inverse_audio_synthesis_tpu.train.optim import make_optimizer

@@ -3,8 +3,6 @@
 import json
 
 import numpy as np
-import pytest
-
 from inverse_audio_synthesis_tpu.train.checkpoint import CheckpointManager
 from inverse_audio_synthesis_tpu.train.loop import Trainer
 from inverse_audio_synthesis_tpu.train.runsetup import BatchNumberSplit

@@ -11,7 +11,6 @@ from inverse_audio_synthesis_tpu.models import (
     AudioRepresentationToParams,
     MobileNetV3Small,
     ParamEmbed,
-    Projector,
     VICRegModule,
     vicreg_loss,
 )

@@ -1,8 +1,6 @@
 """Fused Pallas render kernel vs the jnp path (interpret mode on CPU)."""
 
 import numpy as np
-import pytest
-
 import jax
 import jax.numpy as jnp
 

@@ -2,8 +2,6 @@
 key/shape layout and check it lands in the Flax tree with matching shapes."""
 
 import numpy as np
-import pytest
-
 import jax
 import jax.numpy as jnp
 

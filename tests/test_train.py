@@ -8,7 +8,7 @@ import jax
 import jax.numpy as jnp
 
 from inverse_audio_synthesis_tpu.parallel.mesh import create_mesh, param_shardings
-from inverse_audio_synthesis_tpu.train.optim import make_optimizer, make_schedule
+from inverse_audio_synthesis_tpu.train.optim import make_optimizer
 from inverse_audio_synthesis_tpu.train.pretrain import VicregPretrainTask
 from inverse_audio_synthesis_tpu.train.runsetup import BatchNumberSplit, FeistelPermutation
 from inverse_audio_synthesis_tpu.utils.config import load_config
