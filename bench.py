@@ -1,10 +1,15 @@
 #!/usr/bin/env python3
 """Headline benchmark: voices/sec/chip for batched Voice synthesis + mel features.
 
-This is BASELINE.json config 1 ("batched torchsynth Voice forward synthesis (128
+Headline = BASELINE.json config 1 ("batched torchsynth Voice forward synthesis (128
 voices, 4s) + mel/STFT features") — the hot inner loop every workload funnels through
 (SURVEY.md §3.3). Prints ONE JSON line:
-    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "extra": {...}}
+
+``extra`` carries BASELINE configs 2-4: the full VICReg train step (pairs/s at batch
+128/256/512 — reference: vicreg_audio_params.py:107-122), and the downstream test
+step incl. resynthesis + mel-L1/MR-STFT metrics (reference: audio_to_params.py:238-273).
+Set BENCH_FAST=1 to skip the extras (headline only).
 
 Baseline provenance: the reference itself cannot run here (torchsynth is not
 installable in this zero-egress image), so the recorded CPU baseline is this
@@ -14,6 +19,7 @@ vs_baseline = TPU voices/sec / CPU_BASELINE_VOICES_PER_SEC. North star: ≥10×.
 """
 
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -24,6 +30,66 @@ CPU_BASELINE_VOICES_PER_SEC = 15.98
 BATCH_SIZE = 128
 ITERS_PER_TRIAL = 10
 TRIALS = 5
+
+
+def bench_vicreg_steps(results):
+    """BASELINE config 2: full VICReg train step (synth + towers + projector + loss +
+    backward + LARS) at full config dim 1024 / embeddim 8192."""
+    import itertools
+
+    import jax
+
+    from inverse_audio_synthesis_tpu.parallel.mesh import create_mesh
+    from inverse_audio_synthesis_tpu.train.pretrain import VicregPretrainTask
+    from inverse_audio_synthesis_tpu.utils.config import load_config
+
+    mesh = create_mesh(devices=jax.devices()[:1])
+    for bs in (128, 256, 512):
+        cfg = load_config(overrides=[f"vicreg.batch_size={bs}"])
+        task = VicregPretrainTask(cfg, mesh)
+        state = task.init_state()
+        state, m = task.train_step(state, 0)  # compile
+        jax.block_until_ready(m["vicreg/train/loss"])
+        counter = itertools.count(1)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            for _ in range(5):
+                state, m = task.train_step(state, next(counter))
+            jax.block_until_ready(m["vicreg/train/loss"])
+            best = min(best, (time.time() - t0) / 5)
+        results[f"vicreg_step_ms_b{bs}"] = round(best * 1e3, 2)
+        results[f"pairs_per_sec_b{bs}"] = round(bs / best, 1)
+        print(f"vicreg step b{bs}: {best * 1e3:.1f} ms", file=sys.stderr)
+        del task, state
+
+
+def bench_downstream(results):
+    """BASELINE config 3/4 slice: downstream test step (predict + in-jit resynthesis
+    + mel-L1/MR-STFT/param-MAE metrics) against a random-init frozen tower."""
+    import jax
+
+    from inverse_audio_synthesis_tpu.parallel.mesh import create_mesh
+    from inverse_audio_synthesis_tpu.train.downstream import AudioToParamsTask
+    from inverse_audio_synthesis_tpu.train.pretrain import VicregPretrainTask
+    from inverse_audio_synthesis_tpu.utils.config import load_config
+
+    mesh = create_mesh(devices=jax.devices()[:1])
+    cfg = load_config(overrides=["audio_to_params.batch_size=128"])
+    pre = VicregPretrainTask(cfg, mesh)
+    task = AudioToParamsTask(cfg, mesh, pre, pre.init_state())
+    state = task.init_state()
+    m, *_ = task.test_step(state, 0)  # compile both programs
+    jax.block_until_ready(m["audio_to_params/test/mrstft"])
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        for i in range(3):
+            m, *_ = task.test_step(state, 1 + i)
+        jax.block_until_ready(m["audio_to_params/test/mrstft"])
+        best = min(best, (time.time() - t0) / 3)
+    results["downstream_test_step_ms_b128"] = round(best * 1e3, 2)
+    print(f"downstream test step b128: {best * 1e3:.1f} ms", file=sys.stderr)
 
 
 def main() -> None:
@@ -43,8 +109,9 @@ def main() -> None:
         n_fft=1024,
         hop_length=512,
         n_mels=128,
-        # on TPU the windowed-DFT conv (bf16 MXU) beats gather-framing + rfft
-        method="conv_bf16" if jax.default_backend() == "tpu" else "fft",
+        # on TPU reshape-framing + one dense bf16 matmul (mel fused in) beats both
+        # the strided windowed-DFT conv (~7 ms) and gather-framing + rfft
+        method="matmul_bf16" if jax.default_backend() == "tpu" else "fft",
     )
 
     @jax.jit
@@ -74,6 +141,14 @@ def main() -> None:
     voices_per_sec = BATCH_SIZE / dt
     print(f"best: {dt * 1e3:.2f} ms / {BATCH_SIZE}-voice batch", file=sys.stderr)
 
+    extra = {"synth_mel_ms_b128": round(dt * 1e3, 2)}
+    if not os.environ.get("BENCH_FAST"):
+        for fn in (bench_vicreg_steps, bench_downstream):
+            try:
+                fn(extra)
+            except Exception as e:  # an extra must never sink the headline metric
+                print(f"extra bench {fn.__name__} failed: {e!r}", file=sys.stderr)
+
     print(
         json.dumps(
             {
@@ -81,6 +156,7 @@ def main() -> None:
                 "value": round(voices_per_sec, 2),
                 "unit": "voices/s (128-voice batch, 4s @ 44.1kHz, synth+mel)",
                 "vs_baseline": round(voices_per_sec / CPU_BASELINE_VOICES_PER_SEC, 2),
+                "extra": extra,
             }
         )
     )

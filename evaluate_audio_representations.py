@@ -61,9 +61,16 @@ def app(cfg) -> None:
         variables={"params": state.params, "batch_stats": state.batch_stats},
         query_synth=synth_config_from_cfg(cfg, test_bs),
         candidate_synth=synth_config_from_cfg(cfg, predict_bs),
+        inner_chunk=cfg.get_dotted("retrieval.inner_chunk", 128),
     )
-    result = evaluator.run(n_batches, logger=logger, sample_rate=cfg.torchsynth.rate)
+    result = evaluator.run(
+        n_batches,
+        logger=logger,
+        sample_rate=cfg.torchsynth.rate,
+        artifact_dir=str(run_dir / "retrieval"),
+    )
     print("final per-query min distances:", result["best_dist"].round(4).tolist())
+    print(f"convergence artifacts: {run_dir / 'retrieval'}/convergence.{{csv,png}}")
     logger.log({"retrieval/mean_min_dist": float(result["best_dist"].mean())})
     logger.finish()
 

@@ -9,18 +9,24 @@ evaluate_audio_representations.py:43,156,162) are fixed by construction here.
 
 TPU-native: synthesis + embedding + distance + argmin run as ONE jitted chunk step; the
 running (best_dist, best_audio) state lives on device and updates via jnp.where, so the
-host only sees a scalar "improved" mask per chunk.
+host only sees a scalar "improved" mask per chunk. The reference's
+PREDICT_BATCH_SIZE=1024 (evaluate_audio_representations.py:23) is handled by an inner
+``lax.scan`` over sub-chunks of ``inner_chunk`` voices — the traced program stays
+sub-chunk-sized, so the 1024-candidate config compiles through the remote-compile
+limit while still streaming 1024 candidates per host-visible step.
 """
 
 from __future__ import annotations
 
-from typing import Dict
+from dataclasses import replace
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from inverse_audio_synthesis_tpu.synth import SynthConfig
+from inverse_audio_synthesis_tpu.synth import modules as synth_modules
 from inverse_audio_synthesis_tpu.synth.voice import render_voice, sample_voice_params
 
 
@@ -44,11 +50,19 @@ class RetrievalEvaluator:
         query_synth: SynthConfig,
         candidate_synth: SynthConfig,
         query_batch_num: int = 0,
+        inner_chunk: int = 128,
     ):
         self.embed_fn = embed_fn
         self.variables = variables
         self.query_synth = query_synth
         self.candidate_synth = candidate_synth
+        bs = candidate_synth.batch_size
+        self.inner_chunk = min(inner_chunk, bs)
+        assert bs % self.inner_chunk == 0, (bs, self.inner_chunk)
+        # sub-chunk synthesis shapes (what the scanned body renders)
+        self._sub_synth = replace(
+            candidate_synth, batch_size=self.inner_chunk, reproducible=False
+        )
 
         query_params = sample_voice_params(query_batch_num, query_synth)
         self.query_audio = render_voice(query_params, query_synth)
@@ -60,14 +74,36 @@ class RetrievalEvaluator:
 
     def _chunk_step(self, variables, query_emb, best_dist, best_audio, batch_num):
         params = sample_voice_params(batch_num, self.candidate_synth)
-        audio = render_voice(params, self.candidate_synth)
-        emb = self.embed_fn(variables, audio[:, None, :])
-        d = cdist(query_emb.astype(jnp.float32), emb.astype(jnp.float32))  # [n_q, B]
-        chunk_min = jnp.min(d, axis=1)
-        chunk_arg = jnp.argmin(d, axis=1)
-        improved = chunk_min < best_dist
-        new_dist = jnp.where(improved, chunk_min, best_dist)
-        new_audio = jnp.where(improved[:, None], audio[chunk_arg], best_audio)
+        k = self.inner_chunk
+        n_sub = self.candidate_synth.batch_size // k
+        params = params.reshape(n_sub, k, params.shape[-1])
+        noise_key = jax.random.fold_in(
+            jax.random.PRNGKey(self.candidate_synth.noise_seed), batch_num
+        )
+        query_emb = query_emb.astype(jnp.float32)
+
+        def body(carry, xs):
+            best_dist, best_audio = carry
+            sub_params, sub_idx = xs
+            # distinct noise rows per sub-chunk (one big render would also have
+            # distinct rows; the fixed-seed buffer repeats every `k` rows otherwise)
+            noise = synth_modules.noise(
+                jax.random.fold_in(noise_key, sub_idx), k, self._sub_synth.buffer_size
+            )
+            audio = render_voice(sub_params, self._sub_synth, noise=noise)
+            emb = self.embed_fn(variables, audio[:, None, :])
+            d = cdist(query_emb, emb.astype(jnp.float32))  # [n_q, k]
+            chunk_min = jnp.min(d, axis=1)
+            chunk_arg = jnp.argmin(d, axis=1)
+            improved = chunk_min < best_dist
+            best_dist = jnp.where(improved, chunk_min, best_dist)
+            best_audio = jnp.where(improved[:, None], audio[chunk_arg], best_audio)
+            return (best_dist, best_audio), None
+
+        (new_dist, new_audio), _ = jax.lax.scan(
+            body, (best_dist, best_audio), (params, jnp.arange(n_sub))
+        )
+        improved = new_dist < best_dist
         return new_dist, new_audio, improved
 
     def step(self, batch_num: int) -> np.ndarray:
@@ -85,7 +121,12 @@ class RetrievalEvaluator:
         logger=None,
         sample_rate: int = 44100,
         log_every_improvement: bool = True,
+        artifact_dir: Optional[str] = None,
     ) -> Dict[str, np.ndarray]:
+        """Stream ``n_batches`` candidate batches. With ``artifact_dir``, writes the
+        per-query min-distance convergence curves as ``convergence.csv`` and (when
+        matplotlib is available) ``convergence.png`` — the reference's monotone
+        convergence plot (evaluate_audio_representations.py:234-243)."""
         prev = np.asarray(self.best_dist)
         history = []  # per-chunk min-distance snapshots (the reference's convergence
         # curves, evaluate_audio_representations.py:234-243)
@@ -108,9 +149,42 @@ class RetrievalEvaluator:
                     logger.log_audio(
                         f"retrieval/query{q}-dist{cur[q]:.3f}", clip, sample_rate, step=i
                     )
+        history_arr = np.stack(history) if history else np.zeros((0,))
+        if artifact_dir is not None and len(history):
+            _write_convergence_artifacts(artifact_dir, history_arr)
         return {
             "best_dist": np.asarray(self.best_dist),
             "best_audio": np.asarray(self.best_audio),
             "query_audio": np.asarray(self.query_audio),
-            "history": np.stack(history) if history else np.zeros((0,)),
+            "history": history_arr,
         }
+
+
+def _write_convergence_artifacts(artifact_dir: str, history: np.ndarray) -> None:
+    """history [n_batches, n_queries] → convergence.csv (+ .png with matplotlib)."""
+    from pathlib import Path
+
+    out = Path(artifact_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    n_batches, n_q = history.shape
+    with open(out / "convergence.csv", "w") as f:
+        f.write("batch," + ",".join(f"query{q}" for q in range(n_q)) + "\n")
+        for i in range(n_batches):
+            f.write(f"{i}," + ",".join(f"{v:.6g}" for v in history[i]) + "\n")
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig, ax = plt.subplots(figsize=(8, 5))
+        for q in range(n_q):
+            ax.plot(history[:, q], lw=1)
+        ax.set_xlabel("candidate batch")
+        ax.set_ylabel("min distance")
+        ax.set_title("per-query nearest-neighbor convergence")
+        fig.tight_layout()
+        fig.savefig(out / "convergence.png", dpi=120)
+        plt.close(fig)
+    except Exception:
+        pass  # CSV is the canonical artifact; the plot is best-effort

@@ -75,16 +75,28 @@ def convert_mobilenetv3_small_state_dict(
     return params, stats
 
 
-def load_into_audio_embedding(variables, converted, prefix: str = "vision_model"):
+def load_into_audio_embedding(variables, converted, prefix="vision_model"):
     """Replace the vision_model subtree of an AudioEmbedding/VICReg variables pytree
-    with converted torchvision weights, verifying shapes leaf-by-leaf."""
+    with converted torchvision weights, verifying shapes leaf-by-leaf. ``prefix`` is
+    the key path to the vision trunk: a string for AudioEmbedding-scoped variables,
+    or a tuple like ``("backbone_audio", "vision_model")`` for a full VICReg tree."""
     import jax
 
+    path = (prefix,) if isinstance(prefix, str) else tuple(prefix)
     params, stats = converted
 
-    def replace(tree, sub):
+    def get(tree):
+        node = tree
+        for p in path:
+            node = node[p]
+        return node
+
+    def replace(tree, sub, depth=0):
         out = dict(tree)
-        out[prefix] = sub
+        if depth == len(path) - 1:
+            out[path[depth]] = sub
+        else:
+            out[path[depth]] = replace(tree[path[depth]], sub, depth + 1)
         return out
 
     def check(old, new, kind):
@@ -97,12 +109,38 @@ def load_into_audio_embedding(variables, converted, prefix: str = "vision_model"
         for (pa, a), (pb, b) in zip(flat_old, flat_new):
             assert a.shape == np.asarray(b).shape, f"{kind} {pa}: {a.shape} vs {b.shape}"
 
-    check(variables["params"][prefix], params, "params")
-    check(variables["batch_stats"][prefix], stats, "batch_stats")
+    check(get(variables["params"]), params, "params")
+    check(get(variables["batch_stats"]), stats, "batch_stats")
     new_vars = dict(variables)
     new_vars["params"] = replace(variables["params"], params)
     new_vars["batch_stats"] = replace(variables["batch_stats"], stats)
     return new_vars
+
+
+def load_vision_weights_file(path: str) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """Load a vision-weights file → (params, batch_stats) numpy trees.
+
+    Accepts either the converted pickle written by this module's CLI
+    (``{"params": ..., "batch_stats": ...}``) or a raw torch ``state_dict`` file
+    (``features.0.0.weight`` keys), converted on the fly when torch is available."""
+    import pickle
+
+    with open(path, "rb") as f:
+        head = f.read(2)
+    if head == b"\x80\x04" or head[:1] == b"\x80":  # plain pickle protocol
+        try:
+            with open(path, "rb") as f:
+                blob = pickle.load(f)
+            if isinstance(blob, dict) and "params" in blob:
+                return blob["params"], blob.get("batch_stats", {})
+        except Exception:
+            pass  # fall through to torch loader (zipfile-based .pt)
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+    return convert_mobilenetv3_small_state_dict(sd)
 
 
 def main():  # pragma: no cover

@@ -166,8 +166,13 @@ def compute_controls(params01: jax.Array, config: SynthConfig):
     return p, routed, midi_f0
 
 
-def render_voice(params01: jax.Array, config: SynthConfig) -> jax.Array:
-    """[B, 78] normalized params → [B, buffer_size] audio. Pure; jit/vmap/grad-safe."""
+def render_voice(
+    params01: jax.Array, config: SynthConfig, noise: Optional[jax.Array] = None
+) -> jax.Array:
+    """[B, 78] normalized params → [B, buffer_size] audio. Pure; jit/vmap/grad-safe.
+
+    ``noise`` optionally overrides the fixed-seed noise buffer (used by callers that
+    chunk a large batch and want distinct noise rows per chunk)."""
     sr = float(config.sample_rate)
     ta = config.buffer_size
     b = params01.shape[0]
@@ -184,9 +189,9 @@ def render_voice(params01: jax.Array, config: SynthConfig) -> jax.Array:
     vco_2 = modules.vca(
         modules.square_saw_vco(p["vco_2"], midi_f0, vco_2_pitch, sr), vco_2_amp
     )
-    noise_sig = modules.vca(
-        modules.noise(jax.random.PRNGKey(config.noise_seed), b, ta), noise_amp
-    )
+    if noise is None:
+        noise = modules.noise(jax.random.PRNGKey(config.noise_seed), b, ta)
+    noise_sig = modules.vca(noise, noise_amp)
 
     levels = jnp.stack(
         [p["mixer"]["vco_1"], p["mixer"]["vco_2"], p["mixer"]["noise"]], axis=1
@@ -218,32 +223,51 @@ def _fused_scalars(p, midi_f0: jax.Array) -> jax.Array:
     return jnp.pad(out, ((0, 0), (0, 16 - out.shape[1])))
 
 
-def _render_voice_fused_impl(params01, config: SynthConfig, interpret: bool):
+def _render_voice_fused_impl(params01, config: SynthConfig, interpret: bool, mesh=None):
     from inverse_audio_synthesis_tpu.ops.pallas.render import render_audio_fused
 
     p, routed, midi_f0 = compute_controls(params01, config)
     scalars = _fused_scalars(p, midi_f0)
+    # Noise is generated in the GLOBAL program keyed by global row index, so under a
+    # data-sharded mesh every shard gets distinct rows (shard-local keying inside the
+    # shard_map body would duplicate the same noise on every shard).
     noise = modules.noise(
         jax.random.PRNGKey(config.noise_seed), params01.shape[0], config.buffer_size
     )
-    return render_audio_fused(
-        routed, scalars, noise, float(config.sample_rate), interpret=interpret
+    render = partial(
+        render_audio_fused, sample_rate=float(config.sample_rate), interpret=interpret
     )
+    if mesh is not None and mesh.shape.get("data", 1) > 1:
+        # A raw pallas_call cannot be GSPMD-auto-partitioned; shard_map runs one
+        # kernel instance per data shard on its local batch rows. The render is
+        # embarrassingly batch-parallel — no collectives. check_vma=False because
+        # replication along the 'model' axis can't be inferred through pallas_call.
+        from jax.sharding import PartitionSpec as P
+
+        render = jax.shard_map(
+            render,
+            mesh=mesh,
+            in_specs=(P("data"), P("data"), P("data")),
+            out_specs=P("data"),
+            check_vma=False,
+        )
+    return render(routed, scalars, noise)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(1, 2))
-def render_voice_fused(params01, config: SynthConfig, interpret: bool = False):
+@partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def render_voice_fused(params01, config: SynthConfig, interpret: bool = False, mesh=None):
     """Single-HBM-pass Pallas render (see ops/pallas/render.py). Same semantics as
     ``render_voice`` up to float association in the phase integration; differentiable
-    via the jnp path's VJP."""
-    return _render_voice_fused_impl(params01, config, interpret)
+    via the jnp path's VJP. Pass ``mesh`` to shard the kernel over the mesh's 'data'
+    axis via shard_map (multi-chip data parallelism)."""
+    return _render_voice_fused_impl(params01, config, interpret, mesh)
 
 
-def _fused_fwd(params01, config, interpret):
-    return _render_voice_fused_impl(params01, config, interpret), params01
+def _fused_fwd(params01, config, interpret, mesh):
+    return _render_voice_fused_impl(params01, config, interpret, mesh), params01
 
 
-def _fused_bwd(config, interpret, params01, g):
+def _fused_bwd(config, interpret, mesh, params01, g):
     _, vjp = jax.vjp(lambda q: render_voice(q, config), params01)
     return (vjp(g)[0],)
 
@@ -278,9 +302,16 @@ def sample_voice_params(batch_num, config: SynthConfig) -> jax.Array:
 
 
 def is_train_split(batch_num, config: SynthConfig) -> jax.Array:
-    """Deterministic 90/10 per-sample train/test interleave ([B] bool)."""
-    idx = batch_num * config.batch_size + jnp.arange(config.batch_size)
-    return (idx % 10) < 9
+    """synth1B1-style train/test flag ([B] bool, shared by the whole batch).
+
+    torchsynth's published synth1B1 contract: sounds come in canonical 128-voice
+    batches and 10% of batches form the test set, interleaved as every 10th batch —
+    ``batch_num % 10 == 0`` is test, the rest train (reconstructed; torchsynth is not
+    installable in this environment). The flag is batch-level, matching the
+    reference's ``voice(batch_num) -> (audio, params, is_train)`` third output
+    (reference: vicreg_audio_params.py:114 — never consumed there)."""
+    train = (batch_num % 10) != 0
+    return jnp.full((config.batch_size,), train, dtype=bool)
 
 
 class Voice:

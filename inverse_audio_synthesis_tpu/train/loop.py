@@ -3,8 +3,13 @@
 Implements the subset of Trainer behavior the reference relies on
 (reference: pretrain.py:91-122, downstream.py:39-63): max_epochs=1 over the batch-number
 stream, ``limit_train_batches`` / ``limit_val_batches`` / ``val_check_interval``,
-checkpoint cadence + save-last, deterministic seeding, and metric logging. NaN guarding
-(the reference's detect_anomaly) is a cheap host-side check on the scalar loss.
+checkpoint cadence + save-last, deterministic seeding, and metric logging.
+
+Anomaly detection (the reference's per-step ``detect_anomaly=True``, pretrain.py:96)
+is split TPU-natively: non-finite gradient updates are rejected ON DEVICE at every
+step by ``optax.apply_if_finite`` (train/optim.py) — no poisoned step is ever applied
+— and the device-side rejection counter is fetched and raised on at log cadence, so
+the steady-state loop still has zero per-step host syncs.
 """
 
 from __future__ import annotations
@@ -13,8 +18,10 @@ import math
 import time
 from typing import Any, Dict, Optional
 
+import jax
 
 from inverse_audio_synthesis_tpu.train.checkpoint import CheckpointManager
+from inverse_audio_synthesis_tpu.train.optim import total_notfinite
 from inverse_audio_synthesis_tpu.train.runsetup import BatchNumberSplit
 from inverse_audio_synthesis_tpu.utils.logging import MetricsLogger
 
@@ -55,12 +62,13 @@ class Trainer:
         )
         if n == 0:
             return {}
-        acc: Dict[str, float] = {}
+        # accumulate on device; ONE host fetch at the end (a float() per metric per
+        # batch costs an RTT each on the tunneled TPU — ~15 s per 128-batch val pass)
+        acc: Optional[Dict[str, Any]] = None
         for i in range(n):
             m = self.task.val_step(state, self.split.val_batch_num(i))
-            for k, v in m.items():
-                acc[k] = acc.get(k, 0.0) + float(v)
-        return {k: v / n for k, v in acc.items()}
+            acc = m if acc is None else {k: acc[k] + m[k] for k in m}
+        return {k: float(v) / n for k, v in jax.device_get(acc).items()}
 
     def fit(self, state, start_step: int = 0):
         n_train = self.split.sizes.train
@@ -73,7 +81,11 @@ class Trainer:
             state, metrics = self.task.train_step(state, batch_num)
 
             if (i + 1) % self.log_every == 0 or i == start_step:
-                metrics = {k: float(v) for k, v in metrics.items()}
+                # one host fetch for every metric + the device-side anomaly counter
+                fetched = jax.device_get(
+                    {**metrics, "notfinite_steps": total_notfinite(state.opt_state)}
+                )
+                metrics = {k: float(v) for k, v in fetched.items()}
                 now = time.time()
                 steps = self.log_every if i != start_step else 1
                 metrics["steps_per_sec"] = steps / max(now - window_start, 1e-9)
@@ -87,9 +99,12 @@ class Trainer:
                         for k, v in metrics.items()
                         if isinstance(v, float) and not math.isfinite(v)
                     }
+                    if metrics["notfinite_steps"]:
+                        bad["notfinite_steps"] = metrics["notfinite_steps"]
                     if bad:
                         raise FloatingPointError(
-                            f"non-finite metrics at step {i}: {bad}"
+                            f"non-finite metrics by step {i}: {bad} (non-finite "
+                            f"updates were rejected on device, not applied)"
                         )
                 self._log(metrics, step=i)
 

@@ -20,19 +20,28 @@ import optax
 
 
 def make_schedule(scheduler_cfg: Any, peak_lr: float):
-    """Returns an optax schedule (callable) or the constant peak_lr."""
+    """Returns an optax schedule (callable) or the constant peak_lr.
+
+    ``step_every_nbatches`` (default 1) advances the schedule once per N optimizer
+    steps — the reference's downstream task steps its scheduler every 10,000 batches
+    (reference: audio_to_params.py:280-284; latent there: it configures no scheduler
+    for LARS, so ``sch.step()`` on None would crash at batch 10000)."""
     if not scheduler_cfg or not scheduler_cfg.get("name"):
         return peak_lr
     name = scheduler_cfg["name"]
     if name == "LinearWarmupCosineAnnealingLR":
         args = scheduler_cfg.get("args", {})
-        return optax.warmup_cosine_decay_schedule(
+        schedule = optax.warmup_cosine_decay_schedule(
             init_value=float(args.get("warmup_start_lr", 0.0)),
             peak_value=peak_lr,
             warmup_steps=int(args["warmup_epochs"]),
             decay_steps=int(args["max_epochs"]),
             end_value=float(args.get("eta_min", 0.0)),
         )
+        step_every = int(scheduler_cfg.get("step_every_nbatches", 1))
+        if step_every > 1:
+            return lambda step: schedule(step // step_every)
+        return schedule
     raise ValueError(f"unknown scheduler {name!r}")
 
 
@@ -41,8 +50,16 @@ def make_optimizer(
     batch_size: int,
     scheduler_cfg: Any = None,
     momentum: float = 0.0,
+    guard_nonfinite: bool = True,
 ) -> Tuple[optax.GradientTransformation, Any]:
-    """Build the optimizer named by the config. Returns (tx, schedule)."""
+    """Build the optimizer named by the config. Returns (tx, schedule).
+
+    With ``guard_nonfinite`` the transformation is wrapped in
+    ``optax.apply_if_finite``: a step whose gradients contain NaN/Inf is REJECTED on
+    device (zero update) and counted in the opt state, so no poisoned step is ever
+    applied — the per-step half of the reference's ``detect_anomaly=True``
+    (reference: pretrain.py:96) without any host sync. The Trainer raises when the
+    device-side count is nonzero at log time (see loop.py / total_notfinite)."""
     name = optim_cfg["name"]
     args = optim_cfg.get("args", {})
     if name == "lars":
@@ -59,9 +76,29 @@ def make_optimizer(
             eps=1e-8,
             momentum=momentum,
         )
-        return tx, schedule
-    if name == "sgd":
+    elif name == "sgd":
         lr = float(args["lr"])
         schedule = make_schedule(scheduler_cfg, lr)
-        return optax.sgd(learning_rate=schedule, momentum=momentum), schedule
-    raise ValueError(f"unknown optimizer {name!r}")
+        tx = optax.sgd(learning_rate=schedule, momentum=momentum)
+    else:
+        raise ValueError(f"unknown optimizer {name!r}")
+    if guard_nonfinite:
+        # max_consecutive_errors is effectively ∞: never "give up and accept" a
+        # non-finite update — the Trainer aborts the run first.
+        tx = optax.apply_if_finite(tx, max_consecutive_errors=2**30)
+    return tx, schedule
+
+
+def total_notfinite(opt_state) -> Any:
+    """Device-side count of rejected (non-finite) updates from apply_if_finite
+    state(s) anywhere in an opt-state pytree; 0 if unguarded."""
+    total = 0
+    stack = [opt_state]
+    while stack:
+        s = stack.pop()
+        if hasattr(s, "total_notfinite"):
+            total = total + s.total_notfinite
+            stack.append(s.inner_state)
+        elif isinstance(s, (tuple, list)):
+            stack.extend(s)
+    return total

@@ -37,10 +37,13 @@ class TrainState(train_state.TrainState):
 
 
 def make_render_fn(synth_cfg: SynthConfig, mesh):
-    """Render function for this mesh: the fused Pallas kernel on a single-data-shard
-    TPU mesh; otherwise the jnp path, which GSPMD partitions across chips (a raw
-    pallas_call cannot be auto-partitioned, and shard-local noise keying would
-    duplicate noise rows across shards)."""
+    """Render function for this mesh: the fused Pallas kernel on TPU (shard_mapped
+    over the 'data' axis when the mesh has >1 data shard, with noise rows keyed by
+    global row index); otherwise the jnp path. Logs the chosen path once so a config
+    drift that silently drops the ~10x kernel is visible in run logs (e.g. a
+    control_rate change pushing the upsample ratio out of [2, 128])."""
+    import logging
+
     import jax
 
     from inverse_audio_synthesis_tpu.synth.voice import (
@@ -49,12 +52,22 @@ def make_render_fn(synth_cfg: SynthConfig, mesh):
         render_voice_fused,
     )
 
-    if (
-        fused_render_available(synth_cfg)
-        and jax.default_backend() == "tpu"
-        and mesh.shape["data"] == 1
-    ):
-        return lambda p: render_voice_fused(p, synth_cfg, False)
+    log = logging.getLogger(__name__)
+    if fused_render_available(synth_cfg) and jax.default_backend() == "tpu":
+        data_shards = mesh.shape["data"]
+        log.info(
+            "render path: fused Pallas kernel (data shards=%d%s)",
+            data_shards,
+            ", shard_map" if data_shards > 1 else "",
+        )
+        shard_mesh = mesh if data_shards > 1 else None
+        return lambda p: render_voice_fused(p, synth_cfg, False, shard_mesh)
+    log.info(
+        "render path: jnp fallback (backend=%s, fused geometry supported=%s) — "
+        "~10x slower than the fused Pallas kernel",
+        jax.default_backend(),
+        fused_render_available(synth_cfg),
+    )
     return lambda p: render_voice(p, synth_cfg)
 
 
@@ -117,6 +130,7 @@ class VicregPretrainTask:
         audio = jnp.zeros((2, 1, self.synth.buffer_size), jnp.float32)
         params01 = jnp.zeros((2, self.cfg.nparams), jnp.float32)
         variables = jax.jit(partial(self.model.init, train=False))(key, audio, params01)
+        variables = self._maybe_load_vision_weights(variables)
         state = TrainState.create(
             apply_fn=self.model.apply,
             params=variables["params"],
@@ -125,6 +139,34 @@ class VicregPretrainTask:
         )
         # place (possibly TP-sharded) onto the mesh; opt_state mirrors param paths
         return jax.device_put(state, param_shardings(state, self.mesh))
+
+    def _maybe_load_vision_weights(self, variables):
+        """Replace the random-init MobileNetV3 trunk with converted torchvision
+        weights when ``vicreg.vision_weights_path`` is set (reference trains from
+        ImageNet init: vicreg_audio_params.py:52-54, conf/vicreg/full.yaml:28)."""
+        import logging
+
+        log = logging.getLogger(__name__)
+        path = self.cfg.vicreg.get("vision_weights_path")
+        if path:
+            from inverse_audio_synthesis_tpu.models.torch_import import (
+                load_into_audio_embedding,
+                load_vision_weights_file,
+            )
+
+            converted = load_vision_weights_file(path)
+            variables = load_into_audio_embedding(
+                variables, converted, prefix=("backbone_audio", "vision_model")
+            )
+            log.info("loaded pretrained vision trunk from %s", path)
+        elif self.cfg.vicreg.get("pretrained_vision_model"):
+            log.warning(
+                "pretrained_vision_model=true but vicreg.vision_weights_path is unset "
+                "— the vision trunk is RANDOM-INIT. Convert torchvision weights with "
+                "`python -m inverse_audio_synthesis_tpu.models.torch_import` and set "
+                "the path."
+            )
+        return variables
 
     # -- steps -------------------------------------------------------------------
     def _synthesize(self, batch_num):

@@ -90,6 +90,36 @@ def test_retrieval_monotone(pretrain):
     assert result["best_audio"].shape == (4, ev.candidate_synth.buffer_size)
 
 
+def test_retrieval_inner_chunking_and_artifacts(pretrain, tmp_path):
+    """The 1024-candidate reference config compiles via an inner lax.scan over
+    sub-chunks; convergence artifacts (CSV + PNG) are written from the history."""
+    cfg, mesh, pre_task, pre_state = pretrain
+
+    def embed(variables, audio):
+        return pre_task.model.apply(
+            variables, audio, train=False, method=pre_task.model.embed_audio
+        )
+
+    ev = RetrievalEvaluator(
+        embed_fn=embed,
+        variables={"params": pre_state.params, "batch_stats": pre_state.batch_stats},
+        query_synth=synth_config_from_cfg(cfg, 4),
+        candidate_synth=synth_config_from_cfg(cfg, 8),
+        inner_chunk=4,  # 8 candidates → scan of 2 sub-chunks
+    )
+    result = ev.run(n_batches=4, artifact_dir=str(tmp_path))
+    assert np.isfinite(result["best_dist"]).all()
+    # monotone history, final row == best
+    hist = result["history"]
+    assert hist.shape == (4, 4)
+    assert (np.diff(hist, axis=0) <= 1e-6).all()
+    np.testing.assert_allclose(hist[-1], result["best_dist"], rtol=1e-6)
+    assert (tmp_path / "convergence.csv").exists()
+    lines = (tmp_path / "convergence.csv").read_text().strip().splitlines()
+    assert len(lines) == 5 and lines[0].startswith("batch,")
+    assert (tmp_path / "convergence.png").exists()
+
+
 def test_mel_l1_backprop_through_synth(pretrain):
     """The working version of the reference's commented-out 'backprop through the
     synth' experiment (audio_to_params.py:56-174)."""

@@ -35,6 +35,24 @@ def test_golden_params():
     np.testing.assert_allclose(p[0, :6], GOLDEN_PARAMS_ROW0_HEAD, atol=1e-6)
 
 
+def test_golden_artifact():
+    """Committed golden artifact (tests/golden/voice_batch1234.npz, CPU fp32,
+    2026-08-16): pins the full 78-param draw and the rendered waveform for batch
+    1234 at batch_size=4 across refactors — the WAV-golden analog of torchsynth's
+    reproducibility contract (synth1B1 canonical batches)."""
+    from pathlib import Path
+
+    blob = np.load(Path(__file__).parent / "golden" / "voice_batch1234.npz")
+    cfg = SynthConfig(batch_size=4, buffer_size_seconds=1.0)
+    p = np.asarray(sample_voice_params(1234, cfg))
+    np.testing.assert_allclose(p, blob["params01"], atol=1e-6)
+    a = np.asarray(render_voice(sample_voice_params(1234, cfg), cfg))
+    np.testing.assert_allclose(a[:, :4096], blob["audio_head"], atol=2e-3)
+    np.testing.assert_allclose(a[:, -1024:], blob["audio_tail"], atol=2e-3)
+    rms = np.sqrt((a**2).mean(axis=1))
+    np.testing.assert_allclose(rms, blob["audio_rms"], rtol=1e-3)
+
+
 def test_golden_audio():
     p = sample_voice_params(1234, CFG)
     a = np.asarray(render_voice(p, CFG))

@@ -40,6 +40,47 @@ def test_lars_matches_flash_formula():
     np.testing.assert_allclose(np.asarray(updates["w"]), expected, rtol=1e-4, atol=1e-7)
 
 
+def test_scheduler_step_every_nbatches():
+    """Downstream LR cadence: the schedule advances once per N optimizer steps
+    (reference: audio_to_params.py:280-284 steps every 10,000 batches)."""
+    from inverse_audio_synthesis_tpu.train.optim import make_schedule
+
+    cfg = {
+        "name": "LinearWarmupCosineAnnealingLR",
+        "step_every_nbatches": 100,
+        "args": {"warmup_epochs": 5, "max_epochs": 50, "eta_min": 0.0},
+    }
+    sched = make_schedule(cfg, peak_lr=1.0)
+    # constant within a 100-step window, advances across windows
+    assert float(sched(0)) == float(sched(99))
+    assert float(sched(100)) != float(sched(0))
+    base = make_schedule({**cfg, "step_every_nbatches": 1}, peak_lr=1.0)
+    assert float(sched(250)) == float(base(2))
+
+
+def test_nonfinite_updates_rejected_and_counted():
+    """apply_if_finite guard: a NaN gradient produces a ZERO update (no poisoned
+    step) and increments the device-side counter the Trainer raises on."""
+    from inverse_audio_synthesis_tpu.train.optim import total_notfinite
+
+    tx, _ = make_optimizer(
+        {"name": "lars", "args": {"base_lr": 2.0, "weight_decay": 0.0}}, 256
+    )
+    params = {"w": jnp.ones((4,))}
+    state = tx.init(params)
+    assert int(total_notfinite(state)) == 0
+
+    bad = {"w": jnp.asarray([1.0, jnp.nan, 0.0, 0.0])}
+    updates, state = tx.update(bad, state, params)
+    np.testing.assert_array_equal(np.asarray(updates["w"]), 0.0)
+    assert int(total_notfinite(state)) == 1
+
+    good = {"w": jnp.asarray([0.1, 0.1, 0.1, 0.1])}
+    updates, state = tx.update(good, state, params)
+    assert float(jnp.abs(updates["w"]).max()) > 0  # recovers after a bad step
+    assert int(total_notfinite(state)) == 1
+
+
 def test_lars_weight_decay_applied():
     tx, _ = make_optimizer(
         {"name": "lars", "args": {"base_lr": 2.0, "weight_decay": 0.1}}, 256

@@ -48,6 +48,47 @@ def test_fused_batch_padding():
     assert np.abs(fused - ref).max() < 0.08
 
 
+def test_fused_shard_map_data8_matches_jnp():
+    """Under a data=8 mesh the fused render runs one kernel instance per shard via
+    shard_map; noise rows are keyed by GLOBAL row index so shards must not repeat
+    each other, and the sharded result must equal both the jnp path and the
+    unsharded fused path (bitwise — same kernel, same per-row inputs)."""
+    from inverse_audio_synthesis_tpu.parallel.mesh import batch_sharding, create_mesh
+
+    cfg = SynthConfig(batch_size=16, buffer_size_seconds=1.0)
+    mesh = create_mesh(data=8, model=1)
+    params = sample_voice_params(11, cfg)
+    params = jax.device_put(params, batch_sharding(mesh))
+
+    fused_sharded = jax.jit(lambda p: render_voice_fused(p, cfg, True, mesh))(params)
+    assert len(fused_sharded.sharding.device_set) == 8
+    fused_sharded = np.asarray(fused_sharded)
+    # vs the jnp path (which uses globally-keyed noise): duplicated noise rows across
+    # shards would blow way past this tolerance on noise-dominated voices
+    ref = np.asarray(render_voice(params, cfg))
+    assert np.abs(fused_sharded - ref).max() < 0.08
+    # vs the unsharded fused path: same kernel, same per-row inputs (tiny fp
+    # differences from XLA fusion order in the control-rate program are expected)
+    fused_single = np.asarray(render_voice_fused(params, cfg, True))
+    np.testing.assert_allclose(fused_sharded, fused_single, atol=0.02)
+
+
+def test_fused_shard_map_grad_finite():
+    """jax.grad flows through the shard_mapped fused render (custom VJP = jnp path)."""
+    from inverse_audio_synthesis_tpu.parallel.mesh import create_mesh
+
+    cfg = SynthConfig(batch_size=8, buffer_size_seconds=1.0)
+    mesh = create_mesh(data=8, model=1)
+    params = sample_voice_params(5, cfg)
+    cot = jax.random.normal(jax.random.PRNGKey(0), (cfg.batch_size, cfg.buffer_size))
+    _, vjp_sharded = jax.vjp(lambda q: render_voice_fused(q, cfg, True, mesh), params)
+    _, vjp_jnp = jax.vjp(lambda q: render_voice(q, cfg), params)
+    g = np.asarray(vjp_sharded(cot)[0])
+    assert np.isfinite(g).all()
+    # the fused backward IS the jnp VJP, sharded or not — identical given one cotangent
+    np.testing.assert_allclose(g, np.asarray(vjp_jnp(cot)[0]), rtol=1e-4, atol=1e-5)
+
+
 def test_fused_grad_uses_jnp_vjp():
     """The fused kernel's backward IS the jnp path's VJP: with an identical cotangent
     both must produce identical gradients. (Comparing jax.grad of the two losses is

@@ -118,3 +118,42 @@ def test_mel_conv_method():
     assert a.shape == b.shape
     rel = np.abs(a - b) / (np.abs(a) + 1e-3 * a.max())
     assert np.median(rel) < 0.05
+
+
+def test_matmul_spectrogram_matches_fft():
+    from inverse_audio_synthesis_tpu.ops.stft import power_spectrogram_matmul
+
+    x = jnp.asarray(_sine(440.0, t=0.5))[None, :]
+    ref = np.asarray(spectrogram(x, power=2.0, n_fft=1024, hop_length=512))
+    # fp32 first: the reshape-framing formulation must be exact vs gather-framing
+    exact = np.asarray(
+        power_spectrogram_matmul(
+            x, n_fft=1024, hop_length=512, compute_dtype=jnp.float32
+        )
+    )
+    assert exact.shape == ref.shape
+    np.testing.assert_allclose(exact, ref, atol=1e-2, rtol=1e-3)
+    approx = np.asarray(power_spectrogram_matmul(x, n_fft=1024, hop_length=512))
+    rel = np.abs(approx - ref) / (np.abs(ref) + 1e-3 * ref.max())
+    assert np.median(rel) < 0.05
+    # hop=256 (n_fft/4) exercises blocks_per_frame=4
+    ref4 = np.asarray(spectrogram(x, power=2.0, n_fft=1024, hop_length=256))
+    got4 = np.asarray(
+        power_spectrogram_matmul(
+            x, n_fft=1024, hop_length=256, compute_dtype=jnp.float32
+        )
+    )
+    np.testing.assert_allclose(got4, ref4, atol=1e-2, rtol=1e-3)
+
+
+def test_mel_matmul_method():
+    mel_fft = MelSpectrogram(44100, 1024, None, 512, n_mels=64)
+    mel_mm = MelSpectrogram(44100, 1024, None, 512, n_mels=64, method="matmul_bf16")
+    x = jnp.asarray(np.random.RandomState(5).randn(2, 22050).astype(np.float32))
+    a, b = np.asarray(mel_fft(x)), np.asarray(mel_mm(x))
+    assert a.shape == b.shape
+    rel = np.abs(a - b) / (np.abs(a) + 1e-3 * a.max())
+    assert np.median(rel) < 0.05
+    # non-dividing hop falls back to the conv path, still correct
+    mel_fb = MelSpectrogram(44100, 1024, None, 500, n_mels=64, method="matmul_bf16")
+    assert mel_fb.method == "conv_bf16"

@@ -196,9 +196,15 @@ def test_voice_call_surface():
 
 
 def test_is_train_split():
-    flags = np.asarray(is_train_split(0, SynthConfig(batch_size=20)))
-    assert flags.sum() == 18  # 90/10 interleave
-    assert not flags[9] and not flags[19]
+    """synth1B1 rule: every 10th BATCH is test; the flag is batch-level."""
+    cfg = SynthConfig(batch_size=20)
+    assert not np.asarray(is_train_split(0, cfg)).any()  # batch 0 → test
+    assert np.asarray(is_train_split(1, cfg)).all()
+    assert np.asarray(is_train_split(9, cfg)).all()
+    assert not np.asarray(is_train_split(10, cfg)).any()
+    # 10% of batches are test overall
+    frac = np.mean([bool(is_train_split(n, cfg)[0]) for n in range(100)])
+    assert frac == 0.9
 
 
 def test_render_jit_and_grad():
