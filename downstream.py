@@ -68,7 +68,13 @@ def app(cfg) -> None:
         val_check_interval=None,  # reference fits on train only (downstream.py:58-61)
         log_every=cfg.get("log_every", 50),
     )
-    state = trainer.fit(state)
+    # auto-resume from the head's own last checkpoint (preemption recovery, same
+    # behavior as the pretrain CLI; the reference had none beyond save_last)
+    start = checkpoint.latest_step()
+    if start is not None:
+        state = checkpoint.restore(state)
+        print(f"resuming downstream training from step {start}")
+    state = trainer.fit(state, start_step=start or 0)
 
     # test pass with resynthesis (reference: downstream.py:63, audio_to_params.py:238-273)
     for i in range(split.sizes.test):
