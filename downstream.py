@@ -71,9 +71,14 @@ def app(cfg) -> None:
     # auto-resume from the head's own last checkpoint (preemption recovery, same
     # behavior as the pretrain CLI; the reference had none beyond save_last)
     start = checkpoint.latest_step()
-    if start is not None:
-        state = checkpoint.restore(state)
-        print(f"resuming downstream training from step {start}")
+    if start:
+        try:
+            state = checkpoint.restore(state)
+            print(f"resuming downstream training from step {start}")
+        except Exception as e:
+            print(f"WARNING: could not restore checkpoint step {start} ({e!r}); "
+                  "starting fresh")
+            start = None
     state = trainer.fit(state, start_step=start or 0)
 
     # test pass with resynthesis (reference: downstream.py:63, audio_to_params.py:238-273)

@@ -7,7 +7,7 @@ checkpoint cadence + save-last, deterministic seeding, and metric logging.
 
 Anomaly detection (the reference's per-step ``detect_anomaly=True``, pretrain.py:96)
 is split TPU-natively: non-finite gradient updates are rejected ON DEVICE at every
-step by ``optax.apply_if_finite`` (train/optim.py) — no poisoned step is ever applied
+step by ``reject_nonfinite_updates`` (train/optim.py) — no poisoned step is ever applied
 — and the device-side rejection counter is fetched and raised on at log cadence, so
 the steady-state loop still has zero per-step host syncs.
 """

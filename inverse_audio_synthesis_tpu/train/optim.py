@@ -14,9 +14,59 @@
 
 from __future__ import annotations
 
-from typing import Any, Tuple
+from typing import Any, NamedTuple, Tuple
 
+import jax
+import jax.numpy as jnp
 import optax
+
+
+class NonFiniteGuardState(NamedTuple):
+    total_notfinite: Any
+    inner_state: Any
+
+
+def reject_nonfinite_updates(
+    inner: optax.GradientTransformation,
+) -> optax.GradientTransformation:
+    """Reject non-finite updates on device and count them (cheap apply_if_finite).
+
+    optax.apply_if_finite wraps the inner update in ``lax.cond``, whose branches
+    force whole-pytree buffer copies — measured +6.4 ms/step at the full VICReg
+    config (143M params). Here the gate is a scalar-predicate ``jnp.where`` applied
+    to the incoming gradients and to the produced updates, which XLA fuses into the
+    existing elementwise update pipeline. On a non-finite step: gradients are zeroed
+    before the inner transform (protecting momentum-style state), the final update is
+    zeroed (so weight-decay-only residuals are rejected too), the inner state is
+    rolled back, and ``total_notfinite`` increments. The guard never "gives up and
+    accepts" — the Trainer aborts on the counter first (train/loop.py)."""
+
+    def init(params):
+        return NonFiniteGuardState(jnp.zeros([], jnp.int32), inner.init(params))
+
+    def update(updates, state, params=None):
+        isfinite = jnp.array(True)
+        for leaf in jax.tree_util.tree_leaves(updates):
+            isfinite = jnp.logical_and(isfinite, jnp.all(jnp.isfinite(leaf)))
+
+        def gate(tree):
+            return jax.tree_util.tree_map(
+                lambda u: jnp.where(isfinite, u, jnp.zeros_like(u)), tree
+            )
+
+        out, inner_state = inner.update(gate(updates), state.inner_state, params)
+        out = gate(out)
+        # inner state (schedule counts, momentum buffers) must not advance on a
+        # rejected step — tiny for the optimizers used here (momentum=0)
+        inner_state = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(isfinite, new, old),
+            inner_state,
+            state.inner_state,
+        )
+        total = state.total_notfinite + jnp.where(isfinite, 0, 1).astype(jnp.int32)
+        return out, NonFiniteGuardState(total, inner_state)
+
+    return optax.GradientTransformation(init, update)
 
 
 def make_schedule(scheduler_cfg: Any, peak_lr: float):
@@ -55,7 +105,7 @@ def make_optimizer(
     """Build the optimizer named by the config. Returns (tx, schedule).
 
     With ``guard_nonfinite`` the transformation is wrapped in
-    ``optax.apply_if_finite``: a step whose gradients contain NaN/Inf is REJECTED on
+    ``reject_nonfinite_updates``: a step whose gradients contain NaN/Inf is REJECTED on
     device (zero update) and counted in the opt state, so no poisoned step is ever
     applied — the per-step half of the reference's ``detect_anomaly=True``
     (reference: pretrain.py:96) without any host sync. The Trainer raises when the
@@ -83,14 +133,12 @@ def make_optimizer(
     else:
         raise ValueError(f"unknown optimizer {name!r}")
     if guard_nonfinite:
-        # max_consecutive_errors is effectively ∞: never "give up and accept" a
-        # non-finite update — the Trainer aborts the run first.
-        tx = optax.apply_if_finite(tx, max_consecutive_errors=2**30)
+        tx = reject_nonfinite_updates(tx)
     return tx, schedule
 
 
 def total_notfinite(opt_state) -> Any:
-    """Device-side count of rejected (non-finite) updates from apply_if_finite
+    """Device-side count of rejected (non-finite) updates from guard
     state(s) anywhere in an opt-state pytree; 0 if unguarded."""
     total = 0
     stack = [opt_state]

@@ -78,8 +78,15 @@ def app(cfg) -> None:
 
     start = checkpoint.latest_step()
     if start:
-        print(f"resuming from checkpoint step {start}")
-        state = checkpoint.restore(state)
+        try:
+            state = checkpoint.restore(state)
+            print(f"resuming from checkpoint step {start}")
+        except Exception as e:
+            # e.g. a checkpoint written by an older code version with a different
+            # opt-state structure — train from scratch instead of dying
+            print(f"WARNING: could not restore checkpoint step {start} ({e!r}); "
+                  "starting fresh")
+            start = None
     trainer.fit(state, start_step=start or 0)
     logger.finish()
 

@@ -59,7 +59,7 @@ def test_scheduler_step_every_nbatches():
 
 
 def test_nonfinite_updates_rejected_and_counted():
-    """apply_if_finite guard: a NaN gradient produces a ZERO update (no poisoned
+    """reject_nonfinite_updates guard: a NaN gradient produces a ZERO update (no poisoned
     step) and increments the device-side counter the Trainer raises on."""
     from inverse_audio_synthesis_tpu.train.optim import total_notfinite
 
