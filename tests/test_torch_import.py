@@ -90,6 +90,29 @@ def test_load_into_vicreg_tree():
     assert y.shape == (1, 16)
 
 
+def test_load_vision_weights_file_raw_torch_pt(tmp_path):
+    """load_vision_weights_file accepts a raw torchvision state_dict .pt and
+    converts it on the fly (the converted-pickle path is covered below)."""
+    import pytest
+
+    torch = pytest.importorskip("torch")
+    from inverse_audio_synthesis_tpu.models.torch_import import (
+        load_vision_weights_file,
+    )
+
+    sd = {k: torch.from_numpy(v) for k, v in synthetic_torchvision_state_dict().items()}
+    path = tmp_path / "mobilenet.pt"
+    torch.save(sd, str(path))
+    params, stats = load_vision_weights_file(str(path))
+    np.testing.assert_allclose(
+        params["stem"]["conv"]["kernel"],
+        np.transpose(sd["features.0.0.weight"].numpy(), (2, 3, 1, 0)),
+    )
+    np.testing.assert_allclose(
+        stats["stem"]["bn"]["mean"], sd["features.0.1.running_mean"].numpy()
+    )
+
+
 def test_vision_weights_load_through_config_path(tmp_path):
     """End-to-end: a converted checkpoint on disk + vicreg.vision_weights_path in the
     config must change the trunk leaves of the initialized train state (VERDICT round
