@@ -125,7 +125,17 @@ def vicreg_loss(
     yc = y.astype(cov_operand_dtype) if cov_operand_dtype is not None else y
     cov_x = jnp.matmul(xc.T, xc, preferred_element_type=jnp.float32) / denom
     cov_y = jnp.matmul(yc.T, yc, preferred_element_type=jnp.float32) / denom
-    cov_loss = off_diagonal_sq_sum(cov_x) / embeddim + off_diagonal_sq_sum(cov_y) / embeddim
+
+    # off-diagonal² = ||C||² − ||diag(C)||², with diag computed directly from the
+    # operands (diag(XᵀX)_j = Σ_b x²_bj): same math as off_diagonal_sq_sum(C), but
+    # the backward of the diag term is then elementwise on [B, embeddim] instead of
+    # an s32-indexed scatter into the [embeddim²] cotangent (profiled at ~1.4 ms/step
+    # at embeddim 8192)
+    def off_diag_sq(c, op):
+        diag = jnp.sum(jnp.square(op.astype(jnp.float32)), axis=0) / denom
+        return jnp.sum(c**2) - jnp.sum(diag**2)
+
+    cov_loss = off_diag_sq(cov_x, xc) / embeddim + off_diag_sq(cov_y, yc) / embeddim
 
     loss = sim_coeff * repr_loss + std_coeff * std_loss + cov_coeff * cov_loss
     return loss, repr_loss, std_loss, cov_loss

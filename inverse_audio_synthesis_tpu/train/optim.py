@@ -69,6 +69,63 @@ def reject_nonfinite_updates(
     return optax.GradientTransformation(init, update)
 
 
+class FusedLarsState(NamedTuple):
+    count: Any
+
+
+def fused_lars(
+    learning_rate,
+    weight_decay: float = 0.0,
+    trust_coefficient: float = 0.001,
+    eps: float = 1e-8,
+) -> optax.GradientTransformation:
+    """LARS (flash formula, zero momentum — the reference's configuration:
+    vicreg_audio_params.py:134-142) in TWO HBM passes per tensor.
+
+    optax.lars lowers to ~5 full passes over each large tensor (w-norm reduce,
+    weight-decay add, g-norm reduce, trust scaling, update) — profiled at ~10 ms/step
+    on the 143M-param full config, the single biggest step cost. Here pass 1 computes
+    the three scalars sum(w²), sum(g²), sum(w·g) together (XLA multi-output fusion:
+    one read of w and g), from which ‖g + wd·w‖² = g² + 2·wd·wg + wd²·w² EXACTLY;
+    pass 2 forms the scaled update. Same math as lightning-flash LARS up to fp
+    reassociation of the norm sums (parity-tested in tests/test_lars.py):
+
+        g' = g + wd·w
+        local_lr = tc·‖w‖ / (‖g'‖ + eps)   if ‖w‖ > 0 and ‖g'‖ > 0 else 1
+        update = -lr · local_lr · g'
+    """
+
+    def init(params):
+        return FusedLarsState(jnp.zeros([], jnp.int32))
+
+    def update(updates, state, params=None):
+        assert params is not None, "fused_lars requires params"
+        lr = learning_rate(state.count) if callable(learning_rate) else learning_rate
+        lr = jnp.asarray(lr, jnp.float32)
+        wd = weight_decay
+
+        def per_leaf(g, w):
+            gf = g.astype(jnp.float32)
+            wf = w.astype(jnp.float32)
+            w2 = jnp.sum(jnp.square(wf))
+            g2 = jnp.sum(jnp.square(gf))
+            wg = jnp.sum(wf * gf)
+            gp2 = g2 + 2.0 * wd * wg + (wd * wd) * w2  # ||g + wd w||^2, one pass
+            w_norm = jnp.sqrt(w2)
+            gp_norm = jnp.sqrt(jnp.maximum(gp2, 0.0))
+            local_lr = jnp.where(
+                (w_norm > 0.0) & (gp_norm > 0.0),
+                trust_coefficient * w_norm / (gp_norm + eps),
+                1.0,
+            )
+            return (-lr * local_lr) * (gf + wd * wf)
+
+        new_updates = jax.tree_util.tree_map(per_leaf, updates, params)
+        return new_updates, FusedLarsState(state.count + 1)
+
+    return optax.GradientTransformation(init, update)
+
+
 def make_schedule(scheduler_cfg: Any, peak_lr: float):
     """Returns an optax schedule (callable) or the constant peak_lr.
 
@@ -115,17 +172,25 @@ def make_optimizer(
     if name == "lars":
         peak_lr = batch_size / 256.0 * float(args["base_lr"])
         schedule = make_schedule(scheduler_cfg, peak_lr)
-        tx = optax.lars(
-            learning_rate=schedule,
-            weight_decay=float(args.get("weight_decay", 0.0)),
+        if momentum == 0.0:
             # flash LARS applies weight decay and trust scaling to every param; the
             # reference never wires exclude_bias_and_norm in (vicreg.py:98-99 unused)
-            weight_decay_mask=True,
-            trust_ratio_mask=True,
-            trust_coefficient=0.001,
-            eps=1e-8,
-            momentum=momentum,
-        )
+            tx = fused_lars(
+                learning_rate=schedule,
+                weight_decay=float(args.get("weight_decay", 0.0)),
+                trust_coefficient=0.001,
+                eps=1e-8,
+            )
+        else:
+            tx = optax.lars(
+                learning_rate=schedule,
+                weight_decay=float(args.get("weight_decay", 0.0)),
+                weight_decay_mask=True,
+                trust_ratio_mask=True,
+                trust_coefficient=0.001,
+                eps=1e-8,
+                momentum=momentum,
+            )
     elif name == "sgd":
         lr = float(args["lr"])
         schedule = make_schedule(scheduler_cfg, lr)

@@ -11,6 +11,32 @@ from inverse_audio_synthesis_tpu.utils.summary import param_count, summarize_par
 
 
 
+def test_trainer_aborts_on_rejected_steps(tmp_path):
+    """A device-side rejected (non-finite) update must abort the run at log cadence —
+    the host-visible half of the reference's detect_anomaly=True (pretrain.py:96)."""
+    import jax.numpy as jnp
+    import pytest
+
+    from inverse_audio_synthesis_tpu.train.optim import NonFiniteGuardState
+
+    class FakeSynth:
+        batch_size = 4
+
+    class FakeState:
+        opt_state = NonFiniteGuardState(jnp.ones([], jnp.int32), ())
+
+    class FakeTask:
+        synth = FakeSynth()
+
+        def train_step(self, state, batch_num):
+            return state, {"loss": jnp.float32(1.0)}
+
+    split = BatchNumberSplit(num_batches=10, ntest_batches=1, seed=0)
+    trainer = Trainer(FakeTask(), split, limit_train_batches=2, log_every=1)
+    with pytest.raises(FloatingPointError, match="notfinite_steps"):
+        trainer.fit(FakeState())
+
+
 def test_fit_end_to_end(tmp_path, tiny_task):
     task = tiny_task
     state = task.init_state()
