@@ -15,6 +15,8 @@ the steady-state loop still has zero per-step host syncs.
 from __future__ import annotations
 
 import math
+import signal
+import threading
 import time
 from typing import Any, Dict, Optional
 
@@ -24,6 +26,38 @@ from inverse_audio_synthesis_tpu.train.checkpoint import CheckpointManager
 from inverse_audio_synthesis_tpu.train.optim import total_notfinite
 from inverse_audio_synthesis_tpu.train.runsetup import BatchNumberSplit
 from inverse_audio_synthesis_tpu.utils.logging import MetricsLogger
+
+
+class PreemptionGuard:
+    """Convert SIGTERM/SIGINT into a cooperative stop flag while training.
+
+    TPU pools preempt with SIGTERM; the reference had no story beyond Lightning's
+    default (die mid-step, lose up to checkpoint_every_nbatches of work). Here the
+    in-flight jitted step finishes, a checkpoint is written, and ``fit`` returns —
+    paired with the CLIs' auto-resume-from-last this makes runs preemption-safe.
+
+    Installs handlers only from the main thread (signal.signal raises elsewhere,
+    e.g. under pytest-xdist workers); otherwise stays inert.
+    """
+
+    def __init__(self):
+        self.requested: Optional[int] = None  # signal number once requested
+        self._prev: Dict[int, Any] = {}
+
+    def _handler(self, signum, frame):
+        self.requested = signum
+
+    def __enter__(self):
+        if threading.current_thread() is threading.main_thread():
+            for sig in (signal.SIGTERM, signal.SIGINT):
+                self._prev[sig] = signal.signal(sig, self._handler)
+        return self
+
+    def __exit__(self, *exc):
+        for sig, prev in self._prev.items():
+            signal.signal(sig, prev)
+        self._prev.clear()
+        return False
 
 
 class Trainer:
@@ -76,7 +110,20 @@ class Trainer:
             n_train = min(n_train, self.limit_train_batches)
         t0 = time.time()
         window_start = t0
+        with PreemptionGuard() as guard:
+            state = self._fit_loop(state, start_step, n_train, window_start, guard)
+        if guard.requested == signal.SIGINT:
+            raise KeyboardInterrupt  # checkpoint saved; preserve ctrl-C semantics
+        return state
+
+    def _fit_loop(self, state, start_step: int, n_train: int, window_start, guard):
         for i in range(start_step, n_train):
+            if guard.requested is not None:
+                # finish-the-step-then-stop: write a resumable checkpoint and log why
+                if self.checkpoint is not None:
+                    self.checkpoint.save(state, i)
+                self._log({"preempted_by_signal": float(guard.requested)}, step=i)
+                return state
             batch_num = self.split.train_batch_num(i)
             state, metrics = self.task.train_step(state, batch_num)
 

@@ -37,6 +37,54 @@ def test_trainer_aborts_on_rejected_steps(tmp_path):
         trainer.fit(FakeState())
 
 
+def test_fit_preemption_saves_checkpoint_and_stops(tmp_path):
+    """SIGTERM mid-run must finish the in-flight step, write a resumable checkpoint,
+    and return — TPU-pool preemption safety (beyond the reference, which dies
+    mid-step and loses up to checkpoint_every_nbatches of work)."""
+    import os
+    import signal
+
+    import jax.numpy as jnp
+
+    class FakeSynth:
+        batch_size = 4
+
+    saves = []
+
+    class FakeCkpt:
+        def maybe_save(self, state, step):
+            pass
+
+        def save(self, state, step):
+            saves.append(step)
+
+    class FakeTask:
+        synth = FakeSynth()
+        steps_run = 0
+
+        def train_step(self, state, batch_num):
+            self.steps_run += 1
+            if self.steps_run == 3:
+                os.kill(os.getpid(), signal.SIGTERM)
+            return state, {"loss": jnp.float32(1.0)}
+
+    from inverse_audio_synthesis_tpu.train.optim import NonFiniteGuardState
+
+    class FakeState:
+        opt_state = NonFiniteGuardState(jnp.zeros([], jnp.int32), ())
+
+    task = FakeTask()
+    split = BatchNumberSplit(num_batches=100, ntest_batches=1, seed=0)
+    trainer = Trainer(task, split, checkpoint=FakeCkpt(), limit_train_batches=50, log_every=1000)
+    trainer.fit(FakeState())
+    # the signal lands during step 3 (index 2); the step completes, then the guard
+    # stops iteration 3 before running it and saves at 3 completed steps
+    assert task.steps_run == 3
+    assert saves == [3]
+    # handler restored after fit
+    assert signal.getsignal(signal.SIGTERM) == signal.SIG_DFL
+
+
 def test_fit_end_to_end(tmp_path, tiny_task):
     task = tiny_task
     state = task.init_state()
