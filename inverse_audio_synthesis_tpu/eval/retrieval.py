@@ -122,33 +122,83 @@ class RetrievalEvaluator:
         sample_rate: int = 44100,
         log_every_improvement: bool = True,
         artifact_dir: Optional[str] = None,
+        resume: bool = True,
+        save_state_every: int = 50,
     ) -> Dict[str, np.ndarray]:
         """Stream ``n_batches`` candidate batches. With ``artifact_dir``, writes the
         per-query min-distance convergence curves as ``convergence.csv`` and (when
         matplotlib is available) ``convergence.png`` — the reference's monotone
-        convergence plot (evaluate_audio_representations.py:234-243)."""
+        convergence plot (evaluate_audio_representations.py:234-243).
+
+        The reference streams up to 1M candidate batches (:202), so long evals must
+        survive preemption: the running (best_dist, best_audio, history) state is
+        snapshotted to ``<artifact_dir>/state.npz`` every ``save_state_every`` batches
+        and on SIGTERM/SIGINT, and ``resume=True`` (default) picks up from it — the
+        candidate stream is a pure function of the batch number, so a resumed run is
+        bit-identical to an uninterrupted one."""
+        from pathlib import Path
+
+        from inverse_audio_synthesis_tpu.train.loop import PreemptionGuard
+
+        state_file = Path(artifact_dir) / "state.npz" if artifact_dir else None
+        history: list = []  # per-chunk min-distance snapshots (the reference's
+        # convergence curves, evaluate_audio_representations.py:234-243)
+        start = 0
+        if resume and state_file is not None and state_file.exists():
+            z = np.load(state_file)
+            if z["best_audio"].shape == tuple(self.best_audio.shape):
+                self.best_dist = jnp.asarray(z["best_dist"])
+                self.best_audio = jnp.asarray(z["best_audio"])
+                history = [row.copy() for row in z["history"]]
+                start = int(z["batches_done"])
+                print(f"retrieval: resuming from {state_file} at batch {start}")
+            else:
+                print(f"retrieval: ignoring {state_file} (candidate shape changed)")
+
+        def save_state(batches_done: int) -> None:
+            if state_file is None or not history:
+                return
+            state_file.parent.mkdir(parents=True, exist_ok=True)
+            np.savez(
+                state_file,
+                best_dist=np.asarray(self.best_dist),
+                best_audio=np.asarray(self.best_audio),
+                history=np.stack(history),
+                batches_done=batches_done,
+            )
+
         prev = np.asarray(self.best_dist)
-        history = []  # per-chunk min-distance snapshots (the reference's convergence
-        # curves, evaluate_audio_representations.py:234-243)
-        for i in range(n_batches):
-            improved = self.step(i + 1)  # batch 0 is the query batch
-            cur = np.asarray(self.best_dist)
-            assert (cur <= prev + 1e-6).all(), "min distance must be monotone"
-            prev = cur
-            history.append(cur.copy())
-            if logger is not None and log_every_improvement and improved.any():
-                for q in np.nonzero(improved)[0]:
-                    silence = np.zeros(sample_rate // 2, np.float32)
-                    clip = np.concatenate(
-                        [
-                            np.asarray(self.query_audio[q]),
-                            silence,
-                            np.asarray(self.best_audio[q]),
-                        ]
-                    )
-                    logger.log_audio(
-                        f"retrieval/query{q}-dist{cur[q]:.3f}", clip, sample_rate, step=i
-                    )
+        with PreemptionGuard() as guard:
+            for i in range(start, n_batches):
+                if guard.requested is not None:
+                    save_state(i)
+                    print(f"retrieval: preempted at batch {i}, state saved")
+                    break
+                improved = self.step(i + 1)  # batch 0 is the query batch
+                cur = np.asarray(self.best_dist)
+                assert (cur <= prev + 1e-6).all(), "min distance must be monotone"
+                prev = cur
+                history.append(cur.copy())
+                if (i + 1) % save_state_every == 0:
+                    save_state(i + 1)
+                if logger is not None and log_every_improvement and improved.any():
+                    for q in np.nonzero(improved)[0]:
+                        silence = np.zeros(sample_rate // 2, np.float32)
+                        clip = np.concatenate(
+                            [
+                                np.asarray(self.query_audio[q]),
+                                silence,
+                                np.asarray(self.best_audio[q]),
+                            ]
+                        )
+                        logger.log_audio(
+                            f"retrieval/query{q}-dist{cur[q]:.3f}",
+                            clip,
+                            sample_rate,
+                            step=i,
+                        )
+            else:
+                save_state(n_batches)
         history_arr = np.stack(history) if history else np.zeros((0,))
         if artifact_dir is not None and len(history):
             _write_convergence_artifacts(artifact_dir, history_arr)

@@ -36,6 +36,8 @@ def frame_signal(x: jax.Array, frame_length: int, hop_length: int) -> jax.Array:
     return x[..., idx]
 
 
+
+
 def stft(
     x: jax.Array,
     n_fft: int = 1024,
@@ -180,6 +182,46 @@ def power_spectrogram_matmul(
         )  # [B, n_frames, n_mels]
     out = jnp.swapaxes(spec, -1, -2)
     return out.reshape(*lead, *out.shape[-2:])
+
+
+def magnitude_stft_matmul(
+    x: jax.Array,
+    n_fft: int,
+    hop_length: int,
+    win_length: int,
+    center: bool = True,
+    pad_mode: str = "reflect",
+    compute_dtype=jnp.bfloat16,
+) -> jax.Array:
+    """STFT magnitude via gather framing + one bf16 DFT matmul on the MXU, for
+    ARBITRARY hops (unlike power_spectrogram_matmul's hop|n_fft requirement).
+
+    [..., T] → [..., n_freq, n_frames] (torch layout), ~2e-3 relative accuracy vs
+    the fp32 FFT path. TPU FFTs are slow (measured ~36 ms for one b128 4-s signal at
+    n_fft 1024 / hop 120 vs ~8 ms here); use this for spectral metrics/losses and
+    keep the FFT path where exact parity matters. (A gcd-strided-slice framing was
+    tried and reverted: sub-lane-width slice tails pad up to 64x on TPU and OOM.)"""
+    window = hann_window(win_length)
+    if win_length < n_fft:
+        lpad = (n_fft - win_length) // 2
+        window = jnp.pad(window, (lpad, n_fft - win_length - lpad))
+    n_freq = n_fft // 2 + 1
+    k = jax.lax.broadcasted_iota(jnp.float32, (n_freq, n_fft), 0)
+    n = jax.lax.broadcasted_iota(jnp.float32, (n_freq, n_fft), 1)
+    ang = 2.0 * jnp.pi * k * n / n_fft
+    basis = (jnp.concatenate([jnp.cos(ang), -jnp.sin(ang)], axis=0) * window[None, :]).T
+    if center:
+        pad = n_fft // 2
+        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad, pad)], mode=pad_mode)
+    frames = frame_signal(x, n_fft, hop_length)
+    y = jax.lax.dot_general(
+        frames.astype(compute_dtype),
+        basis.astype(compute_dtype),
+        (((frames.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [..., n_frames, 2*n_freq]
+    re, im = y[..., :n_freq], y[..., n_freq:]
+    return jnp.swapaxes(jnp.sqrt(re * re + im * im), -1, -2)
 
 
 def hz_to_mel(f, mel_scale: str = "htk"):
@@ -334,13 +376,20 @@ def multi_resolution_stft_loss(
         (2048, 240, 1200),
         (512, 50, 240),
     ),
+    method: str = "fft",  # "fft" (exact) | "matmul_bf16" (MXU, ~2e-3, ~6x faster)
 ) -> jax.Array:
     """auraloss-style MR-STFT loss: mean over resolutions of
     (spectral convergence + log-magnitude L1). resolutions = (n_fft, hop, win)."""
+
+    def mag(x, n_fft, hop, win):
+        if method == "matmul_bf16":
+            return magnitude_stft_matmul(x, n_fft, hop_length=hop, win_length=win)
+        return jnp.abs(stft(x, n_fft=n_fft, hop_length=hop, win_length=win))
+
     total = 0.0
     for n_fft, hop, win in resolutions:
-        mp = jnp.abs(stft(pred, n_fft=n_fft, hop_length=hop, win_length=win))
-        mt = jnp.abs(stft(true, n_fft=n_fft, hop_length=hop, win_length=win))
+        mp = mag(pred, n_fft, hop, win)
+        mt = mag(true, n_fft, hop, win)
         total = total + spectral_convergence_loss(mp, mt) + log_stft_magnitude_loss(mp, mt)
     return total / len(resolutions)
 

@@ -73,6 +73,7 @@ class AudioToParamsTask:
             cfg.audio_to_params.batch_size,
             cfg.audio_to_params.get("scheduler"),
         )
+        self._spectral_method = cfg.mel.get("method", "fft")
         self.mel = MelSpectrogram(
             sample_rate=cfg.torchsynth.rate,
             n_fft=cfg.mel.n_fft,
@@ -81,6 +82,7 @@ class AudioToParamsTask:
             norm=cfg.mel.norm,
             mel_scale=cfg.mel.mel_scale,
             power=cfg.mel.power,
+            method=self._spectral_method,
         )
         self._render = make_render_fn(self.synth, mesh)
         self._dropout_base = jax.random.PRNGKey(cfg.seed + 2)
@@ -209,7 +211,7 @@ class AudioToParamsTask:
                 jnp.abs(self.mel(pred_audio) - self.mel(true_audio))
             ),
             "audio_to_params/test/mrstft": multi_resolution_stft_loss(
-                pred_audio, true_audio
+                pred_audio, true_audio, method=self._spectral_method
             ),
             "audio_to_params/test/param_mae": jnp.mean(
                 jnp.abs(pred_params - params01)

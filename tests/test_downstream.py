@@ -120,6 +120,36 @@ def test_retrieval_inner_chunking_and_artifacts(pretrain, tmp_path):
     assert (tmp_path / "convergence.png").exists()
 
 
+def test_retrieval_resume_bit_identical(pretrain, tmp_path):
+    """A run interrupted after k batches and resumed from state.npz must produce the
+    same best-distances and history as one uninterrupted run (the candidate stream
+    is a pure function of the batch number)."""
+    cfg, mesh, pre_task, pre_state = pretrain
+
+    def embed(variables, audio):
+        return pre_task.model.apply(
+            variables, audio, train=False, method=pre_task.model.embed_audio
+        )
+
+    def make_ev():
+        return RetrievalEvaluator(
+            embed_fn=embed,
+            variables={"params": pre_state.params, "batch_stats": pre_state.batch_stats},
+            query_synth=synth_config_from_cfg(cfg, 4),
+            candidate_synth=synth_config_from_cfg(cfg, 8),
+        )
+
+    full = make_ev().run(n_batches=5, artifact_dir=str(tmp_path / "full"))
+
+    part_dir = str(tmp_path / "part")
+    make_ev().run(n_batches=2, artifact_dir=part_dir, save_state_every=1)
+    resumed = make_ev().run(n_batches=5, artifact_dir=part_dir, save_state_every=1)
+
+    np.testing.assert_array_equal(full["best_dist"], resumed["best_dist"])
+    np.testing.assert_array_equal(full["history"], resumed["history"])
+    np.testing.assert_array_equal(full["best_audio"], resumed["best_audio"])
+
+
 def test_mel_l1_backprop_through_synth(pretrain):
     """The working version of the reference's commented-out 'backprop through the
     synth' experiment (audio_to_params.py:56-174)."""

@@ -146,6 +146,39 @@ def test_matmul_spectrogram_matches_fft():
     np.testing.assert_allclose(got4, ref4, atol=1e-2, rtol=1e-3)
 
 
+def test_magnitude_stft_matmul_matches_fft():
+    """The fast MXU magnitude path stays within bf16 tolerance of the exact FFT at
+    the MR-STFT resolutions (arbitrary, non-dividing hops)."""
+    from inverse_audio_synthesis_tpu.ops.stft import magnitude_stft_matmul, stft
+
+    x = jnp.asarray(np.random.RandomState(1).randn(2, 44100).astype(np.float32))
+    for n_fft, hop, win in [(1024, 120, 600), (2048, 240, 1200), (512, 50, 240)]:
+        ref = np.asarray(jnp.abs(stft(x, n_fft=n_fft, hop_length=hop, win_length=win)))
+        # fp32 compute: framing + matmul-DFT formulation must be exact
+        exact = np.asarray(
+            magnitude_stft_matmul(
+                x, n_fft, hop_length=hop, win_length=win, compute_dtype=jnp.float32
+            )
+        )
+        assert exact.shape == ref.shape
+        # fp32 matmul-DFT vs FFT differ only by accumulation order: ~5e-3 abs noise
+        # near spectral zeros on a ~40 magnitude scale (same bar as the conv tests)
+        np.testing.assert_allclose(exact, ref, atol=1e-2, rtol=1e-3)
+        approx = np.asarray(
+            magnitude_stft_matmul(x, n_fft, hop_length=hop, win_length=win)
+        )
+        assert np.max(np.abs(approx - ref)) / ref.max() < 1e-2
+
+
+def test_mrstft_matmul_method_close_to_fft():
+    rng = np.random.RandomState(2)
+    a = jnp.asarray(rng.randn(2, 44100).astype(np.float32))
+    b = jnp.asarray((rng.randn(2, 44100) * 0.5).astype(np.float32))
+    exact = float(multi_resolution_stft_loss(b, a))
+    fast = float(multi_resolution_stft_loss(b, a, method="matmul_bf16"))
+    assert abs(fast - exact) / exact < 0.02
+
+
 def test_mel_matmul_method():
     mel_fft = MelSpectrogram(44100, 1024, None, 512, n_mels=64)
     mel_mm = MelSpectrogram(44100, 1024, None, 512, n_mels=64, method="matmul_bf16")
