@@ -49,14 +49,14 @@ def bench_vicreg_steps(results):
         task = VicregPretrainTask(cfg, mesh)
         state = task.init_state()
         state, m = task.train_step(state, 0)  # compile
-        jax.block_until_ready(m["vicreg/train/loss"])
+        float(m["vicreg/train/loss"])  # scalar fetch: the tunneled device's block_until_ready is not a reliable sync
         counter = itertools.count(1)
         best = float("inf")
         for _ in range(3):
             t0 = time.time()
             for _ in range(5):
                 state, m = task.train_step(state, next(counter))
-            jax.block_until_ready(m["vicreg/train/loss"])
+            float(m["vicreg/train/loss"])  # scalar fetch: the tunneled device's block_until_ready is not a reliable sync
             best = min(best, (time.time() - t0) / 5)
         results[f"vicreg_step_ms_b{bs}"] = round(best * 1e3, 2)
         results[f"pairs_per_sec_b{bs}"] = round(bs / best, 1)
@@ -80,13 +80,13 @@ def bench_downstream(results):
     task = AudioToParamsTask(cfg, mesh, pre, pre.init_state())
     state = task.init_state()
     m, *_ = task.test_step(state, 0)  # compile both programs
-    jax.block_until_ready(m["audio_to_params/test/mrstft"])
+    float(m["audio_to_params/test/mrstft"])  # scalar fetch (see above)
     best = float("inf")
     for _ in range(3):
         t0 = time.time()
         for i in range(3):
             m, *_ = task.test_step(state, 1 + i)
-        jax.block_until_ready(m["audio_to_params/test/mrstft"])
+        float(m["audio_to_params/test/mrstft"])  # scalar fetch (see above)
         best = min(best, (time.time() - t0) / 3)
     results["downstream_test_step_ms_b128"] = round(best * 1e3, 2)
     print(f"downstream test step b128: {best * 1e3:.1f} ms", file=sys.stderr)

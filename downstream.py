@@ -80,6 +80,12 @@ def app(cfg) -> None:
                   "starting fresh")
             start = None
     state = trainer.fit(state, start_step=start or 0)
+    if trainer.interrupted is not None:
+        # preempted: don't burn the grace period on a test pass over a half-trained
+        # head; exit EX_TEMPFAIL so a supervisor reruns (auto-resumes from last)
+        logger.finish()
+        print(f"preempted by signal {trainer.interrupted}; checkpoint saved")
+        sys.exit(75)
 
     # test pass with resynthesis (reference: downstream.py:63, audio_to_params.py:238-273)
     for i in range(split.sizes.test):

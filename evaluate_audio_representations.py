@@ -69,6 +69,15 @@ def app(cfg) -> None:
         sample_rate=cfg.torchsynth.rate,
         artifact_dir=str(run_dir / "retrieval"),
     )
+    if not result["completed"]:
+        # preempted: state saved; rerunning this command resumes. Don't log partial
+        # distances as the final metric or exit 0 under a restart supervisor.
+        logger.finish()
+        print(
+            f"preempted after {result['batches_done']}/{n_batches} candidate "
+            "batches; state saved — rerun to resume"
+        )
+        sys.exit(75)
     print("final per-query min distances:", result["best_dist"].round(4).tolist())
     print(f"convergence artifacts: {run_dir / 'retrieval'}/convergence.{{csv,png}}")
     logger.log({"retrieval/mean_min_dist": float(result["best_dist"].mean())})

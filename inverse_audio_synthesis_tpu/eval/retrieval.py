@@ -18,6 +18,7 @@ limit while still streaming 1024 candidates per host-visible step.
 
 from __future__ import annotations
 
+import signal
 from dataclasses import replace
 from typing import Dict, Optional
 
@@ -67,6 +68,13 @@ class RetrievalEvaluator:
         query_params = sample_voice_params(query_batch_num, query_synth)
         self.query_audio = render_voice(query_params, query_synth)
         self.query_emb = embed_fn(variables, self.query_audio[:, None, :])
+        # fingerprint of everything the resume state depends on: model weights (the
+        # query embedding is a function of them), chunking (keys the noise stream),
+        # and the query set — resuming under any other run silently mixes embedding
+        # spaces, so state.npz is validated against this, not just array shapes
+        self.state_fingerprint = float(
+            jnp.sum(jnp.abs(self.query_emb.astype(jnp.float32)))
+        ) + 1e-3 * self.inner_chunk + 1e-6 * candidate_synth.batch_size
         n_q = query_synth.batch_size
         self.best_dist = jnp.full((n_q,), jnp.inf, jnp.float32)
         self.best_audio = jnp.zeros((n_q, candidate_synth.buffer_size), jnp.float32)
@@ -146,14 +154,21 @@ class RetrievalEvaluator:
         start = 0
         if resume and state_file is not None and state_file.exists():
             z = np.load(state_file)
-            if z["best_audio"].shape == tuple(self.best_audio.shape):
+            same_shape = z["best_audio"].shape == tuple(self.best_audio.shape)
+            same_run = "fingerprint" in z and np.isclose(
+                float(z["fingerprint"]), self.state_fingerprint, rtol=1e-6
+            )
+            if same_shape and same_run:
                 self.best_dist = jnp.asarray(z["best_dist"])
                 self.best_audio = jnp.asarray(z["best_audio"])
                 history = [row.copy() for row in z["history"]]
                 start = int(z["batches_done"])
                 print(f"retrieval: resuming from {state_file} at batch {start}")
             else:
-                print(f"retrieval: ignoring {state_file} (candidate shape changed)")
+                why = "candidate shape changed" if not same_shape else (
+                    "different model/chunking (fingerprint mismatch)"
+                )
+                print(f"retrieval: ignoring {state_file} ({why})")
 
         def save_state(batches_done: int) -> None:
             if state_file is None or not history:
@@ -165,9 +180,11 @@ class RetrievalEvaluator:
                 best_audio=np.asarray(self.best_audio),
                 history=np.stack(history),
                 batches_done=batches_done,
+                fingerprint=self.state_fingerprint,
             )
 
         prev = np.asarray(self.best_dist)
+        batches_done = start
         with PreemptionGuard() as guard:
             for i in range(start, n_batches):
                 if guard.requested is not None:
@@ -179,8 +196,9 @@ class RetrievalEvaluator:
                 assert (cur <= prev + 1e-6).all(), "min distance must be monotone"
                 prev = cur
                 history.append(cur.copy())
-                if (i + 1) % save_state_every == 0:
-                    save_state(i + 1)
+                batches_done = i + 1
+                if batches_done % save_state_every == 0:
+                    save_state(batches_done)
                 if logger is not None and log_every_improvement and improved.any():
                     for q in np.nonzero(improved)[0]:
                         silence = np.zeros(sample_rate // 2, np.float32)
@@ -202,11 +220,17 @@ class RetrievalEvaluator:
         history_arr = np.stack(history) if history else np.zeros((0,))
         if artifact_dir is not None and len(history):
             _write_convergence_artifacts(artifact_dir, history_arr)
+        if guard.requested == signal.SIGINT:
+            raise KeyboardInterrupt  # state saved; preserve ctrl-C semantics
         return {
             "best_dist": np.asarray(self.best_dist),
             "best_audio": np.asarray(self.best_audio),
             "query_audio": np.asarray(self.query_audio),
             "history": history_arr,
+            # False when preempted mid-stream — partial results must not be
+            # reported as the final metric (callers check this)
+            "completed": batches_done >= n_batches,
+            "batches_done": batches_done,
         }
 
 

@@ -127,7 +127,7 @@ def load_vision_weights_file(path: str) -> Tuple[Dict[str, Any], Dict[str, Any]]
 
     with open(path, "rb") as f:
         head = f.read(2)
-    if head == b"\x80\x04" or head[:1] == b"\x80":  # plain pickle protocol
+    if head[:1] == b"\x80":  # plain pickle protocol (any version)
         try:
             with open(path, "rb") as f:
                 blob = pickle.load(f)

@@ -66,6 +66,23 @@ def spectrogram(x: jax.Array, power: float = 2.0, **stft_kwargs) -> jax.Array:
     return mag if power == 1.0 else jnp.power(mag, power)
 
 
+def _windowed_dft_basis(n_fft: int, win_length: int) -> jax.Array:
+    """Real-DFT analysis basis [2*n_freq, n_fft]: rows 0..n_freq-1 are cos·window,
+    rows n_freq.. are −sin·window (window center-padded to n_fft when shorter).
+    Built on-device from iota — a host-side constant this size would bloat the
+    serialized HLO past the remote-compile request limit. Shared by the conv and
+    matmul spectrogram paths so window/DFT semantics can't silently diverge."""
+    window = hann_window(win_length)
+    if win_length < n_fft:
+        lpad = (n_fft - win_length) // 2
+        window = jnp.pad(window, (lpad, n_fft - win_length - lpad))
+    n_freq = n_fft // 2 + 1
+    k = jax.lax.broadcasted_iota(jnp.float32, (n_freq, n_fft), 0)
+    n = jax.lax.broadcasted_iota(jnp.float32, (n_freq, n_fft), 1)
+    ang = 2.0 * jnp.pi * k * n / n_fft
+    return jnp.concatenate([jnp.cos(ang), -jnp.sin(ang)], axis=0) * window[None, :]
+
+
 def power_spectrogram_conv(
     x: jax.Array,
     n_fft: int = 1024,
@@ -83,17 +100,8 @@ def power_spectrogram_conv(
     need exact parity. [..., T] → [..., n_freq, n_frames]."""
     hop_length = hop_length or n_fft // 4
     win_length = win_length or n_fft
-    window = hann_window(win_length)
-    if win_length < n_fft:
-        lpad = (n_fft - win_length) // 2
-        window = jnp.pad(window, (lpad, n_fft - win_length - lpad))
     n_freq = n_fft // 2 + 1
-    # DFT basis built on-device from iota (a host-side constant this size would bloat
-    # the serialized HLO past the remote-compile request limit)
-    k = jax.lax.broadcasted_iota(jnp.float32, (n_freq, n_fft), 0)
-    n = jax.lax.broadcasted_iota(jnp.float32, (n_freq, n_fft), 1)
-    ang = 2.0 * jnp.pi * k * n / n_fft
-    basis = jnp.concatenate([jnp.cos(ang), -jnp.sin(ang)], axis=0) * window[None, :]
+    basis = _windowed_dft_basis(n_fft, win_length)
 
     lead = x.shape[:-1]
     xb = x.reshape(-1, 1, x.shape[-1])
@@ -135,16 +143,9 @@ def power_spectrogram_matmul(
     hop_length = hop_length or n_fft // 4
     win_length = win_length or n_fft
     assert n_fft % hop_length == 0, (n_fft, hop_length)
-    window = hann_window(win_length)
-    if win_length < n_fft:
-        lpad = (n_fft - win_length) // 2
-        window = jnp.pad(window, (lpad, n_fft - win_length - lpad))
     n_freq = n_fft // 2 + 1
-    k = jax.lax.broadcasted_iota(jnp.float32, (n_freq, n_fft), 0)
-    n = jax.lax.broadcasted_iota(jnp.float32, (n_freq, n_fft), 1)
-    ang = 2.0 * jnp.pi * k * n / n_fft
-    # [n_fft, 2*n_freq]: column-major so the frame matmul is frames @ basis
-    basis = (jnp.concatenate([jnp.cos(ang), -jnp.sin(ang)], axis=0) * window[None, :]).T
+    # [n_fft, 2*n_freq]: transposed so the frame matmul is frames @ basis
+    basis = _windowed_dft_basis(n_fft, win_length).T
 
     lead = x.shape[:-1]
     xb = x.reshape(-1, x.shape[-1])
@@ -154,13 +155,11 @@ def power_spectrogram_matmul(
     t = xb.shape[-1]
     n_frames = 1 + (t - n_fft) // hop_length
     blocks_per_frame = n_fft // hop_length
-    # pad the tail so the hop grid covers the last frame, then frame by reshape
+    # truncate to the hop grid covering the last full frame, then frame by reshape
+    # (need ≤ t always: need = (n_frames-1)·hop + n_fft and n_frames is defined
+    # as the largest count fitting in t)
     n_hops = n_frames - 1 + blocks_per_frame
-    need = n_hops * hop_length
-    if need > t:
-        xb = jnp.pad(xb, [(0, 0), (0, need - t)])
-    else:
-        xb = xb[:, :need]
+    xb = xb[:, : n_hops * hop_length]
     hops = xb.reshape(xb.shape[0], n_hops, hop_length)
     frames = jnp.concatenate(
         [hops[:, i : i + n_frames] for i in range(blocks_per_frame)], axis=-1
@@ -201,15 +200,8 @@ def magnitude_stft_matmul(
     n_fft 1024 / hop 120 vs ~8 ms here); use this for spectral metrics/losses and
     keep the FFT path where exact parity matters. (A gcd-strided-slice framing was
     tried and reverted: sub-lane-width slice tails pad up to 64x on TPU and OOM.)"""
-    window = hann_window(win_length)
-    if win_length < n_fft:
-        lpad = (n_fft - win_length) // 2
-        window = jnp.pad(window, (lpad, n_fft - win_length - lpad))
     n_freq = n_fft // 2 + 1
-    k = jax.lax.broadcasted_iota(jnp.float32, (n_freq, n_fft), 0)
-    n = jax.lax.broadcasted_iota(jnp.float32, (n_freq, n_fft), 1)
-    ang = 2.0 * jnp.pi * k * n / n_fft
-    basis = (jnp.concatenate([jnp.cos(ang), -jnp.sin(ang)], axis=0) * window[None, :]).T
+    basis = _windowed_dft_basis(n_fft, win_length).T
     if center:
         pad = n_fft // 2
         x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad, pad)], mode=pad_mode)
@@ -292,6 +284,16 @@ class MelSpectrogram:
         method: str = "fft",  # "fft" (exact) | "conv_bf16" | "matmul_bf16" (MXU, ~1e-3)
     ):
         if method == "matmul_bf16" and n_fft % hop_length != 0:
+            import logging
+
+            # loud, like the fused-render gate in train/pretrain.py: a silent ~7x
+            # slow-path fallback is undiagnosable from run logs otherwise
+            logging.getLogger(__name__).info(
+                "MelSpectrogram: hop_length=%d does not divide n_fft=%d — "
+                "falling back from matmul_bf16 to conv_bf16 (slower)",
+                hop_length,
+                n_fft,
+            )
             method = "conv_bf16"  # reshape-framing needs hop | n_fft
         self.method = method
         self.n_fft = n_fft

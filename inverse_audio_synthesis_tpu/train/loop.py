@@ -82,6 +82,10 @@ class Trainer:
         self.val_check_interval = val_check_interval
         self.log_every = log_every
         self.detect_anomaly = detect_anomaly
+        # set by fit(): the signal number that stopped training early, else None.
+        # CLIs use this to skip post-training work and exit non-zero so restart
+        # supervisors re-run the job instead of reading a preempted run as success.
+        self.interrupted: Optional[int] = None
 
     def _log(self, metrics: Dict[str, Any], step: int):
         if self.logger is not None:
@@ -108,18 +112,23 @@ class Trainer:
         n_train = self.split.sizes.train
         if self.limit_train_batches:
             n_train = min(n_train, self.limit_train_batches)
-        t0 = time.time()
-        window_start = t0
+        window_start = time.time()
+        self.interrupted = None
+        # abort on rejections from THIS run only: a checkpoint written after a
+        # rejected step carries the cumulative device counter, which must not make
+        # every future resume abort on its first step
+        self._notfinite_base = float(jax.device_get(total_notfinite(state.opt_state)))
         with PreemptionGuard() as guard:
             state = self._fit_loop(state, start_step, n_train, window_start, guard)
-        if guard.requested == signal.SIGINT:
-            raise KeyboardInterrupt  # checkpoint saved; preserve ctrl-C semantics
+        if self.interrupted == signal.SIGINT:
+            raise KeyboardInterrupt  # stopped early by ctrl-C: preserve its semantics
         return state
 
     def _fit_loop(self, state, start_step: int, n_train: int, window_start, guard):
         for i in range(start_step, n_train):
             if guard.requested is not None:
                 # finish-the-step-then-stop: write a resumable checkpoint and log why
+                self.interrupted = guard.requested
                 if self.checkpoint is not None:
                     self.checkpoint.save(state, i)
                 self._log({"preempted_by_signal": float(guard.requested)}, step=i)
@@ -133,6 +142,7 @@ class Trainer:
                     {**metrics, "notfinite_steps": total_notfinite(state.opt_state)}
                 )
                 metrics = {k: float(v) for k, v in fetched.items()}
+                metrics["notfinite_steps"] -= self._notfinite_base  # this run only
                 now = time.time()
                 steps = self.log_every if i != start_step else 1
                 metrics["steps_per_sec"] = steps / max(now - window_start, 1e-9)

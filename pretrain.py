@@ -89,6 +89,11 @@ def app(cfg) -> None:
             start = None
     trainer.fit(state, start_step=start or 0)
     logger.finish()
+    if trainer.interrupted is not None:
+        # EX_TEMPFAIL: a restart supervisor must re-run (checkpoint saved; rerunning
+        # this command auto-resumes), not read a preempted run as success
+        print(f"preempted by signal {trainer.interrupted}; checkpoint saved")
+        sys.exit(75)
 
 
 if __name__ == "__main__":

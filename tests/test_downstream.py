@@ -148,6 +148,19 @@ def test_retrieval_resume_bit_identical(pretrain, tmp_path):
     np.testing.assert_array_equal(full["best_dist"], resumed["best_dist"])
     np.testing.assert_array_equal(full["history"], resumed["history"])
     np.testing.assert_array_equal(full["best_audio"], resumed["best_audio"])
+    assert resumed["completed"] and resumed["batches_done"] == 5
+
+    # a different chunking (different candidate noise stream) must NOT resume from
+    # the saved state — shapes match but the fingerprint differs
+    ev2 = RetrievalEvaluator(
+        embed_fn=embed,
+        variables={"params": pre_state.params, "batch_stats": pre_state.batch_stats},
+        query_synth=synth_config_from_cfg(cfg, 4),
+        candidate_synth=synth_config_from_cfg(cfg, 8),
+        inner_chunk=4,
+    )
+    fresh = ev2.run(n_batches=5, artifact_dir=part_dir)
+    assert fresh["history"].shape[0] == 5  # from scratch, not 2 resumed + 3
 
 
 def test_mel_l1_backprop_through_synth(pretrain):

@@ -13,7 +13,9 @@ from inverse_audio_synthesis_tpu.utils.summary import param_count, summarize_par
 
 def test_trainer_aborts_on_rejected_steps(tmp_path):
     """A device-side rejected (non-finite) update must abort the run at log cadence —
-    the host-visible half of the reference's detect_anomaly=True (pretrain.py:96)."""
+    the host-visible half of the reference's detect_anomaly=True (pretrain.py:96).
+    Only rejections from THIS run count: a checkpoint saved after a rejection carries
+    the cumulative counter, and restoring it must not abort the resumed run."""
     import jax.numpy as jnp
     import pytest
 
@@ -23,18 +25,29 @@ def test_trainer_aborts_on_rejected_steps(tmp_path):
         batch_size = 4
 
     class FakeState:
-        opt_state = NonFiniteGuardState(jnp.ones([], jnp.int32), ())
+        def __init__(self, count):
+            self.opt_state = NonFiniteGuardState(jnp.asarray(count, jnp.int32), ())
 
     class FakeTask:
         synth = FakeSynth()
 
+        def __init__(self, reject_from):
+            self.reject_from = reject_from
+
         def train_step(self, state, batch_num):
-            return state, {"loss": jnp.float32(1.0)}
+            count = state.opt_state.total_notfinite
+            return FakeState(count + (count >= self.reject_from)), {
+                "loss": jnp.float32(1.0)
+            }
 
     split = BatchNumberSplit(num_batches=10, ntest_batches=1, seed=0)
-    trainer = Trainer(FakeTask(), split, limit_train_batches=2, log_every=1)
+    # rejection during the run → abort
+    trainer = Trainer(FakeTask(reject_from=0), split, limit_train_batches=2, log_every=1)
     with pytest.raises(FloatingPointError, match="notfinite_steps"):
-        trainer.fit(FakeState())
+        trainer.fit(FakeState(0))
+    # counter restored non-zero from a checkpoint, no NEW rejections → no abort
+    trainer = Trainer(FakeTask(reject_from=99), split, limit_train_batches=2, log_every=1)
+    trainer.fit(FakeState(3))
 
 
 def test_fit_preemption_saves_checkpoint_and_stops(tmp_path):
