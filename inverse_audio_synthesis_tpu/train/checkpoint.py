@@ -5,6 +5,13 @@ monitored on train loss, plus ``save_last`` (reference: pretrain.py:80-89,
 conf/vicreg/full.yaml:16); downstream every 100 steps into ``chkpts/``
 (reference: downstream.py:31-37). Consumption: load-from-checkpoint for downstream /
 heareval (reference: downstream.py:29, heareval.py:14).
+
+Cadence saves are ASYNC (SURVEY §5.4): orbax's ``save`` blocks only for the
+device-to-host copy, then writes to disk in the background while training
+continues — safe under the train loop's buffer donation, since the data is already
+on host when ``save`` returns. The ``last`` alias is committed (and GC runs) only
+after the write finishes, so a crash mid-write can never leave ``last`` pointing at
+a torn checkpoint; restores and the final/preemption saves are blocking.
 """
 
 from __future__ import annotations
@@ -24,27 +31,45 @@ class CheckpointManager:
         self.every_n_steps = every_n_steps
         self.keep = keep
         self._ckpt = ocp.StandardCheckpointer()
+        self._pending: Optional[Path] = None  # async save awaiting commit
 
     def _step_dir(self, step: int) -> Path:
         return self.dir / f"step_{step:012d}"
 
     def maybe_save(self, state, step: int, metrics: Optional[dict] = None) -> bool:
         if self.every_n_steps and (step % self.every_n_steps == 0) and step > 0:
-            self.save(state, step, metrics)
+            # cadence saves overlap the disk write with training
+            self.save(state, step, metrics, blocking=False)
             return True
         return False
 
-    def save(self, state, step: int, metrics: Optional[dict] = None) -> Path:
+    def save(
+        self, state, step: int, metrics: Optional[dict] = None, blocking: bool = True
+    ) -> Path:
+        self.wait()  # at most one write in flight
         path = self._step_dir(step)
-        self._ckpt.save(path, state, force=True)
-        self._ckpt.wait_until_finished()
-        (self.dir / "last").write_text(path.name)  # save_last semantics
+        self._ckpt.save(path, state, force=True)  # returns after the D2H copy
         if metrics:
             (path.parent / f"{path.name}.metrics.json").write_text(
                 json.dumps({k: float(v) for k, v in metrics.items()})
             )
-        self._gc()
+        if blocking:
+            self._ckpt.wait_until_finished()
+            self._commit(path)
+        else:
+            self._pending = path
         return path
+
+    def wait(self) -> None:
+        """Block until any in-flight async save is durable, then commit it."""
+        if self._pending is not None:
+            self._ckpt.wait_until_finished()
+            self._commit(self._pending)
+            self._pending = None
+
+    def _commit(self, path: Path) -> None:
+        (self.dir / "last").write_text(path.name)  # save_last semantics
+        self._gc()
 
     def _gc(self):
         steps = sorted(self.dir.glob("step_*"))
@@ -58,17 +83,21 @@ class CheckpointManager:
                 m.unlink()
 
     def latest_step(self) -> Optional[int]:
+        self.wait()
         last = self.dir / "last"
         if last.exists():
             name = last.read_text().strip()
             if (self.dir / name).exists():
                 return int(name.split("_")[1])
+        # no alias (e.g. a crash before commit): orbax finalizes step dirs
+        # atomically, so the newest finalized dir is still a valid restore point
         steps = sorted(d for d in self.dir.glob("step_*") if d.is_dir())
         return int(steps[-1].name.split("_")[1]) if steps else None
 
     def restore(self, target, step: Optional[int] = None):
         """Restore into the structure/shardings of ``target`` (an abstract or concrete
         state pytree)."""
+        self.wait()
         step = step if step is not None else self.latest_step()
         assert step is not None, f"no checkpoint found under {self.dir}"
         abstract = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct, target)

@@ -136,6 +136,24 @@ def test_checkpoint_roundtrip(tmp_path, task):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_checkpoint_async_save_survives_buffer_donation(tmp_path, task):
+    """Cadence saves are async (SURVEY §5.4): orbax blocks only for the D2H copy, so
+    continuing to train — which DONATES the saved buffers into the next step — must
+    not corrupt the checkpoint, and the `last` alias must appear once committed."""
+    from inverse_audio_synthesis_tpu.train.checkpoint import CheckpointManager
+
+    state = task.init_state()
+    orig = [np.asarray(x).copy() for x in jax.tree_util.tree_leaves(state.params)]
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), every_n_steps=2, keep=2)
+    mgr.save(state, 2, blocking=False)
+    # reuse the saved buffers immediately, as the donating train loop does
+    state, _ = task.train_step(state, 0)
+    restored = mgr.restore(task.init_state())  # wait() commits the pending save
+    assert (tmp_path / "ckpt" / "last").read_text() == "step_000000000002"
+    for a, b in zip(orig, jax.tree_util.tree_leaves(restored.params)):
+        np.testing.assert_array_equal(a, np.asarray(b))
+
+
 def test_train_determinism(task):
     """Same seed + same batch stream ⇒ identical loss sequence (the reference's
     seed_everything/deterministic=True contract)."""
