@@ -1,5 +1,10 @@
 """TPU-first reformulations of the synth's two bandwidth-critical primitives.
 
+These back the Voice render (synth/modules.py) — the hot inner loop the reference
+delegates to torchsynth's CUDA tensor DSP (reference: vicreg_audio_params.py:114,
+requirements.txt:1); there is no same-named reference file to cite, only that
+behavioral contract.
+
 1. ``chunked_cumsum`` — cumulative sum along the (long) time axis, decomposed as
    within-chunk prefix sums via a lower-triangular MATMUL (MXU work, one pass) plus a
    chunk-total cumsum at chunk rate (tiny). XLA lowers a plain ``jnp.cumsum`` over
