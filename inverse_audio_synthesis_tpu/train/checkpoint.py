@@ -72,8 +72,11 @@ class CheckpointManager:
         self._gc()
 
     def _gc(self):
-        steps = sorted(self.dir.glob("step_*"))
-        steps = [s for s in steps if s.is_dir()]
+        steps = sorted(
+            s
+            for s in self.dir.glob("step_*")
+            if s.is_dir() and s.name.split("_")[1].isdigit()  # skip orbax tmp dirs
+        )
         for old in steps[: max(0, len(steps) - self.keep)]:
             import shutil
 
@@ -89,10 +92,18 @@ class CheckpointManager:
             name = last.read_text().strip()
             if (self.dir / name).exists():
                 return int(name.split("_")[1])
-        # no alias (e.g. a crash before commit): orbax finalizes step dirs
-        # atomically, so the newest finalized dir is still a valid restore point
-        steps = sorted(d for d in self.dir.glob("step_*") if d.is_dir())
-        return int(steps[-1].name.split("_")[1]) if steps else None
+        # no alias (e.g. a crash before commit, or a concurrent writer's save still
+        # in flight): accept only finalized dirs — orbax writes to
+        # step_N.orbax-checkpoint-tmp and renames on success, and the tmp name also
+        # matches the glob but fails the int() parse
+        steps = []
+        for d in self.dir.glob("step_*"):
+            if d.is_dir():
+                try:
+                    steps.append(int(d.name.split("_")[1]))
+                except ValueError:
+                    pass  # in-flight orbax tmp dir
+        return max(steps) if steps else None
 
     def restore(self, target, step: Optional[int] = None):
         """Restore into the structure/shardings of ``target`` (an abstract or concrete

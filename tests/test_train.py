@@ -136,6 +136,24 @@ def test_checkpoint_roundtrip(tmp_path, task):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_checkpoint_ignores_inflight_tmp_dirs(tmp_path, task):
+    """A reader listing checkpoints while another process's save is mid-write must
+    skip orbax's step_N.orbax-checkpoint-tmp dirs (they match the step_* glob but
+    aren't restorable) — seen live when downstream started during pretrain's final
+    1.3 GB save."""
+    from inverse_audio_synthesis_tpu.train.checkpoint import CheckpointManager
+
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), every_n_steps=2, keep=2)
+    (tmp_path / "ckpt" / "step_000000000500.orbax-checkpoint-tmp").mkdir(parents=True)
+    assert mgr.latest_step() is None  # tmp dir alone isn't a checkpoint
+    state = task.init_state()
+    mgr.save(state, 2)
+    (tmp_path / "ckpt" / "last").unlink()  # force the glob fallback
+    assert mgr.latest_step() == 2
+    mgr.save(state, 4)  # _gc must not count/delete the tmp dir
+    assert (tmp_path / "ckpt" / "step_000000000500.orbax-checkpoint-tmp").exists()
+
+
 def test_checkpoint_async_save_survives_buffer_donation(tmp_path, task):
     """Cadence saves are async (SURVEY §5.4): orbax blocks only for the D2H copy, so
     continuing to train — which DONATES the saved buffers into the next step — must
