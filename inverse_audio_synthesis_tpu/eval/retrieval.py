@@ -68,13 +68,14 @@ class RetrievalEvaluator:
         query_params = sample_voice_params(query_batch_num, query_synth)
         self.query_audio = render_voice(query_params, query_synth)
         self.query_emb = embed_fn(variables, self.query_audio[:, None, :])
-        # fingerprint of everything the resume state depends on: model weights (the
-        # query embedding is a function of them), chunking (keys the noise stream),
-        # and the query set — resuming under any other run silently mixes embedding
-        # spaces, so state.npz is validated against this, not just array shapes
+        # fingerprint of the model weights (the query embedding is a function of
+        # them) — resuming under different weights silently mixes embedding spaces.
+        # Chunking/batch size (which key the candidate noise stream) are validated
+        # as separate EXACT-match fields: folding them into this float would drown
+        # them in the isclose tolerance at realistic embedding magnitudes.
         self.state_fingerprint = float(
             jnp.sum(jnp.abs(self.query_emb.astype(jnp.float32)))
-        ) + 1e-3 * self.inner_chunk + 1e-6 * candidate_synth.batch_size
+        )
         n_q = query_synth.batch_size
         self.best_dist = jnp.full((n_q,), jnp.inf, jnp.float32)
         self.best_audio = jnp.zeros((n_q, candidate_synth.buffer_size), jnp.float32)
@@ -153,35 +154,54 @@ class RetrievalEvaluator:
         # convergence curves, evaluate_audio_representations.py:234-243)
         start = 0
         if resume and state_file is not None and state_file.exists():
-            z = np.load(state_file)
-            same_shape = z["best_audio"].shape == tuple(self.best_audio.shape)
-            same_run = "fingerprint" in z and np.isclose(
-                float(z["fingerprint"]), self.state_fingerprint, rtol=1e-6
+            try:
+                z = dict(np.load(state_file))
+            except Exception as e:
+                # e.g. a SIGKILL tore the write: never let a corrupt state file make
+                # every supervisor-driven resume crash — start fresh instead
+                print(f"retrieval: ignoring {state_file} (unreadable: {e!r})")
+                z = None
+            same_run = z is not None and (
+                z["best_audio"].shape == tuple(self.best_audio.shape)
+                and np.isclose(
+                    float(z.get("fingerprint", np.nan)),
+                    self.state_fingerprint,
+                    rtol=1e-6,
+                )
+                and int(z.get("inner_chunk", -1)) == self.inner_chunk
+                and int(z.get("candidate_bs", -1)) == self.candidate_synth.batch_size
             )
-            if same_shape and same_run:
+            if same_run:
                 self.best_dist = jnp.asarray(z["best_dist"])
                 self.best_audio = jnp.asarray(z["best_audio"])
                 history = [row.copy() for row in z["history"]]
                 start = int(z["batches_done"])
                 print(f"retrieval: resuming from {state_file} at batch {start}")
-            else:
-                why = "candidate shape changed" if not same_shape else (
-                    "different model/chunking (fingerprint mismatch)"
+            elif z is not None:
+                print(
+                    f"retrieval: ignoring {state_file} (different model, shape, or "
+                    "chunking)"
                 )
-                print(f"retrieval: ignoring {state_file} ({why})")
 
         def save_state(batches_done: int) -> None:
             if state_file is None or not history:
                 return
             state_file.parent.mkdir(parents=True, exist_ok=True)
+            # tmp + atomic rename: a kill mid-write must never tear state.npz
+            tmp = state_file.with_name("state.tmp.npz")
             np.savez(
-                state_file,
+                tmp,
                 best_dist=np.asarray(self.best_dist),
                 best_audio=np.asarray(self.best_audio),
                 history=np.stack(history),
                 batches_done=batches_done,
                 fingerprint=self.state_fingerprint,
+                inner_chunk=self.inner_chunk,
+                candidate_bs=self.candidate_synth.batch_size,
             )
+            import os
+
+            os.replace(tmp, state_file)
 
         prev = np.asarray(self.best_dist)
         batches_done = start
@@ -220,8 +240,10 @@ class RetrievalEvaluator:
         history_arr = np.stack(history) if history else np.zeros((0,))
         if artifact_dir is not None and len(history):
             _write_convergence_artifacts(artifact_dir, history_arr)
-        if guard.requested == signal.SIGINT:
-            raise KeyboardInterrupt  # state saved; preserve ctrl-C semantics
+        if guard.requested == signal.SIGINT and batches_done < n_batches:
+            # stopped early by ctrl-C (a SIGINT landing during the final batch
+            # doesn't negate a completed run): preserve its semantics
+            raise KeyboardInterrupt
         return {
             "best_dist": np.asarray(self.best_dist),
             "best_audio": np.asarray(self.best_audio),

@@ -17,6 +17,8 @@ a torn checkpoint; restores and the final/preemption saves are blocking.
 from __future__ import annotations
 
 import json
+import os
+import threading
 from pathlib import Path
 from typing import Optional
 
@@ -31,7 +33,7 @@ class CheckpointManager:
         self.every_n_steps = every_n_steps
         self.keep = keep
         self._ckpt = ocp.StandardCheckpointer()
-        self._pending: Optional[Path] = None  # async save awaiting commit
+        self._waiter: Optional[threading.Thread] = None  # finalizes the async save
 
     def _step_dir(self, step: int) -> Path:
         return self.dir / f"step_{step:012d}"
@@ -57,18 +59,30 @@ class CheckpointManager:
             self._ckpt.wait_until_finished()
             self._commit(path)
         else:
-            self._pending = path
+            # commit as soon as the background write finishes — NOT lazily at the
+            # next save(), which would leave `last` one cadence stale and lose a
+            # finalized checkpoint to any hard kill in the interval
+            self._waiter = threading.Thread(
+                target=self._finalize_async, args=(path,), daemon=False
+            )
+            self._waiter.start()
         return path
 
     def wait(self) -> None:
-        """Block until any in-flight async save is durable, then commit it."""
-        if self._pending is not None:
-            self._ckpt.wait_until_finished()
-            self._commit(self._pending)
-            self._pending = None
+        """Block until any in-flight async save is durable and committed."""
+        if self._waiter is not None:
+            self._waiter.join()
+            self._waiter = None
+
+    def _finalize_async(self, path: Path) -> None:
+        self._ckpt.wait_until_finished()
+        self._commit(path)
 
     def _commit(self, path: Path) -> None:
-        (self.dir / "last").write_text(path.name)  # save_last semantics
+        # atomic alias update: a kill mid-write must never leave a torn `last`
+        tmp = self.dir / "last.tmp"
+        tmp.write_text(path.name)
+        os.replace(tmp, self.dir / "last")  # save_last semantics
         self._gc()
 
     def _gc(self):
