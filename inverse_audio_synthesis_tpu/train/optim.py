@@ -78,6 +78,7 @@ def fused_lars(
     weight_decay: float = 0.0,
     trust_coefficient: float = 0.001,
     eps: float = 1e-8,
+    exclude_bias_and_norm: bool = False,
 ) -> optax.GradientTransformation:
     """LARS (flash formula, zero momentum — the reference's configuration:
     vicreg_audio_params.py:134-142) in TWO HBM passes per tensor.
@@ -93,6 +94,11 @@ def fused_lars(
         g' = g + wd·w
         local_lr = tc·‖w‖ / (‖g'‖ + eps)   if ‖w‖ > 0 and ‖g'‖ > 0 else 1
         update = -lr · local_lr · g'
+
+    ``exclude_bias_and_norm=True`` wires the reference's unused ``exclude_bias_and_norm``
+    helper (vicreg.py:98-99, the VICReg paper's recommended masking): 1-D params
+    (biases, BN scales) get plain SGD (no weight decay, no trust scaling). Off by
+    default — flash LARS, which the reference actually runs, adapts every param.
     """
 
     def init(params):
@@ -107,6 +113,8 @@ def fused_lars(
         def per_leaf(g, w):
             gf = g.astype(jnp.float32)
             wf = w.astype(jnp.float32)
+            if exclude_bias_and_norm and w.ndim == 1:
+                return -lr * gf  # plain SGD: no decay, no trust scaling
             w2 = jnp.sum(jnp.square(wf))
             g2 = jnp.sum(jnp.square(gf))
             wg = jnp.sum(wf * gf)
@@ -175,18 +183,23 @@ def make_optimizer(
         if momentum == 0.0:
             # flash LARS applies weight decay and trust scaling to every param; the
             # reference never wires exclude_bias_and_norm in (vicreg.py:98-99 unused)
+            # — it stays an opt-in knob (the VICReg paper's recommended masking)
+            exclude = bool(args.get("exclude_bias_and_norm", False))
             tx = fused_lars(
                 learning_rate=schedule,
                 weight_decay=float(args.get("weight_decay", 0.0)),
                 trust_coefficient=0.001,
                 eps=1e-8,
+                exclude_bias_and_norm=exclude,
             )
         else:
+            exclude = bool(args.get("exclude_bias_and_norm", False))
+            adapt = (lambda p: jax.tree_util.tree_map(lambda w: w.ndim > 1, p)) if exclude else True
             tx = optax.lars(
                 learning_rate=schedule,
                 weight_decay=float(args.get("weight_decay", 0.0)),
-                weight_decay_mask=True,
-                trust_ratio_mask=True,
+                weight_decay_mask=adapt,
+                trust_ratio_mask=adapt,
                 trust_coefficient=0.001,
                 eps=1e-8,
                 momentum=momentum,

@@ -40,6 +40,38 @@ def test_lars_matches_flash_formula():
     np.testing.assert_allclose(np.asarray(updates["w"]), expected, rtol=1e-4, atol=1e-7)
 
 
+def test_lars_exclude_bias_and_norm():
+    """Opt-in masking (the reference's unused exclude_bias_and_norm helper,
+    vicreg.py:98-99): 1-D params get plain SGD, ≥2-D params the full LARS update."""
+    rng = np.random.RandomState(1)
+    w = rng.randn(16, 8).astype(np.float32)
+    b = rng.randn(8).astype(np.float32)
+    gw = rng.randn(16, 8).astype(np.float32) * 0.1
+    gb = rng.randn(8).astype(np.float32) * 0.1
+
+    batch_size, base_lr, wd = 64, 2.0, 1e-6
+    tx, _ = make_optimizer(
+        {
+            "name": "lars",
+            "args": {
+                "base_lr": base_lr,
+                "weight_decay": wd,
+                "exclude_bias_and_norm": True,
+            },
+        },
+        batch_size,
+    )
+    params = {"w": jnp.asarray(w), "b": jnp.asarray(b)}
+    state = tx.init(params)
+    updates, _ = tx.update({"w": jnp.asarray(gw), "b": jnp.asarray(gb)}, state, params)
+
+    lr = batch_size / 256.0 * base_lr
+    np.testing.assert_allclose(
+        np.asarray(updates["w"]), flash_lars_update(w, gw, lr, wd), rtol=1e-4, atol=1e-7
+    )
+    np.testing.assert_allclose(np.asarray(updates["b"]), -lr * gb, rtol=1e-6)
+
+
 def test_scheduler_step_every_nbatches():
     """Downstream LR cadence: the schedule advances once per N optimizer steps
     (reference: audio_to_params.py:280-284 steps every 10,000 batches)."""
