@@ -30,6 +30,10 @@ REFERENCE_DIR = Path("/root/reference")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# persistent compile cache across suite runs (~15-20% off the wall time; tracing
+# still dominates, so the win is bounded)
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_compile_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import pytest  # noqa: E402
 
