@@ -79,7 +79,14 @@ def app(cfg) -> None:
             print(f"WARNING: could not restore checkpoint step {start} ({e!r}); "
                   "starting fresh")
             start = None
-    state = trainer.fit(state, start_step=start or 0)
+    if cfg.get("profile_dir"):
+        from inverse_audio_synthesis_tpu.utils.profiling import trace
+
+        with trace(cfg.profile_dir):  # xprof trace of the whole fit
+            state = trainer.fit(state, start_step=start or 0)
+        print(f"profiler trace written to {cfg.profile_dir}")
+    else:
+        state = trainer.fit(state, start_step=start or 0)
     if trainer.interrupted is not None:
         # preempted: don't burn the grace period on a test pass over a half-trained
         # head; exit EX_TEMPFAIL so a supervisor reruns (auto-resumes from last)
