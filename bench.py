@@ -32,9 +32,46 @@ ITERS_PER_TRIAL = 10
 TRIALS = 5
 
 
+# peak per-chip capabilities by device kind: (bf16 FLOP/s, HBM bytes/s)
+PEAKS = {
+    "TPU v5 lite": (197e12, 819e9),  # v5e
+    "TPU v4": (275e12, 1228e9),
+    "TPU v5": (459e12, 2765e9),  # v5p
+    "TPU v6 lite": (918e12, 1640e9),  # v6e / Trillium
+}
+
+
+def _device_peaks():
+    import jax
+
+    kind = jax.devices()[0].device_kind
+    for k, peaks in PEAKS.items():
+        if kind.startswith(k):
+            return peaks
+    return (None, None)
+
+
+def _step_cost(jitted, *args):
+    """(flops, bytes_accessed) from XLA's cost analysis of the compiled step, or
+    (None, None) if unavailable. The jit cache makes lower+compile cheap after the
+    first call."""
+    try:
+        ca = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca.get("flops", 0.0)) or None, float(
+            ca.get("bytes accessed", 0.0)
+        ) or None
+    except Exception as e:
+        print(f"cost analysis unavailable: {e!r}", file=sys.stderr)
+        return None, None
+
+
 def bench_vicreg_steps(results):
     """BASELINE config 2: full VICReg train step (synth + towers + projector + loss +
-    backward + LARS) at full config dim 1024 / embeddim 8192."""
+    backward + LARS) at full config dim 1024 / embeddim 8192. b16 is the reference's
+    actual training operating point (reference: conf/vicreg/full.yaml:6); at that
+    size the step is dispatch/optimizer-bound, so it runs more iters per fetch."""
     import itertools
 
     import jax
@@ -43,24 +80,35 @@ def bench_vicreg_steps(results):
     from inverse_audio_synthesis_tpu.train.pretrain import VicregPretrainTask
     from inverse_audio_synthesis_tpu.utils.config import load_config
 
+    peak_flops, peak_bw = _device_peaks()
     mesh = create_mesh(devices=jax.devices()[:1])
-    for bs in (128, 256, 512):
+    for bs in (16, 128, 256, 512):
         cfg = load_config(overrides=[f"vicreg.batch_size={bs}"])
         task = VicregPretrainTask(cfg, mesh)
         state = task.init_state()
         state, m = task.train_step(state, 0)  # compile
         float(m["vicreg/train/loss"])  # scalar fetch: the tunneled device's block_until_ready is not a reliable sync
         counter = itertools.count(1)
+        iters = 20 if bs <= 16 else 5
         best = float("inf")
         for _ in range(3):
             t0 = time.time()
-            for _ in range(5):
+            for _ in range(iters):
                 state, m = task.train_step(state, next(counter))
             float(m["vicreg/train/loss"])  # scalar fetch: the tunneled device's block_until_ready is not a reliable sync
-            best = min(best, (time.time() - t0) / 5)
+            best = min(best, (time.time() - t0) / iters)
         results[f"vicreg_step_ms_b{bs}"] = round(best * 1e3, 2)
         results[f"pairs_per_sec_b{bs}"] = round(bs / best, 1)
         print(f"vicreg step b{bs}: {best * 1e3:.1f} ms", file=sys.stderr)
+        if bs == 128:
+            flops, nbytes = _step_cost(task.train_step, state, 0)
+            if flops and peak_flops:
+                results["vicreg_step_b128_mfu"] = round(flops / best / peak_flops, 4)
+                results["vicreg_step_b128_tflops"] = round(flops / best / 1e12, 1)
+            if nbytes and peak_bw:
+                results["vicreg_step_b128_hbm_bw_util"] = round(
+                    nbytes / best / peak_bw, 4
+                )
         del task, state
 
 
@@ -92,6 +140,44 @@ def bench_downstream(results):
     print(f"downstream test step b128: {best * 1e3:.1f} ms", file=sys.stderr)
 
 
+def assert_tpu_pallas_parity(cfg) -> None:
+    """Pin the REAL Mosaic-compiled kernel's numerics (not just interpret mode):
+    fused-vs-jnp parity on the actual device at the full 4-s config, same
+    tolerances as tests/test_pallas_render.py. A Mosaic regression (e.g. after a
+    tile retune in ops/pallas/render.py) must fail the bench loudly instead of
+    shipping silently — the reference's equivalent contract is
+    torchsynth-on-device correctness (vicreg_audio_params.py:114)."""
+    import numpy as np
+    import jax
+
+    from inverse_audio_synthesis_tpu.synth.voice import (
+        fused_render_available,
+        render_voice,
+        render_voice_fused,
+        sample_voice_params,
+    )
+
+    if jax.default_backend() != "tpu" or not fused_render_available(cfg):
+        print("pallas parity gate: skipped (not on TPU)", file=sys.stderr)
+        return
+    params = sample_voice_params(12345, cfg)
+    fused = np.asarray(jax.jit(lambda p: render_voice_fused(p, cfg, False))(params))
+    ref = np.asarray(jax.jit(lambda p: render_voice(p, cfg))(params))
+    err_max = float(np.abs(fused - ref).max())
+    rel_rms = float(
+        np.sqrt(np.mean((fused - ref) ** 2)) / (np.sqrt(np.mean(ref**2)) + 1e-9)
+    )
+    assert np.isfinite(fused).all(), "fused render produced non-finite samples on TPU"
+    assert err_max < 0.1 and rel_rms < 0.01, (
+        f"TPU Mosaic kernel drifted from the jnp path: max|Δ|={err_max:.4f} "
+        f"(limit 0.1), rel RMS={rel_rms:.5f} (limit 0.01)"
+    )
+    print(
+        f"pallas parity gate (TPU, Mosaic): max|Δ|={err_max:.4f} rel_rms={rel_rms:.5f} OK",
+        file=sys.stderr,
+    )
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
@@ -104,6 +190,7 @@ def main() -> None:
     )
 
     cfg = SynthConfig(batch_size=BATCH_SIZE)
+    assert_tpu_pallas_parity(cfg)
     mel = MelSpectrogram(
         sample_rate=cfg.sample_rate,
         n_fft=1024,

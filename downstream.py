@@ -79,28 +79,32 @@ def app(cfg) -> None:
             print(f"WARNING: could not restore checkpoint step {start} ({e!r}); "
                   "starting fresh")
             start = None
-    if cfg.get("profile_dir"):
-        from inverse_audio_synthesis_tpu.utils.profiling import trace
+    try:
+        if cfg.get("profile_dir"):
+            from inverse_audio_synthesis_tpu.utils.profiling import trace
 
-        with trace(cfg.profile_dir):  # xprof trace of the whole fit
+            with trace(cfg.profile_dir):  # xprof trace of the whole fit
+                state = trainer.fit(state, start_step=start or 0)
+            print(f"profiler trace written to {cfg.profile_dir}")
+        else:
             state = trainer.fit(state, start_step=start or 0)
-        print(f"profiler trace written to {cfg.profile_dir}")
-    else:
-        state = trainer.fit(state, start_step=start or 0)
-    if trainer.interrupted is not None:
-        # preempted: don't burn the grace period on a test pass over a half-trained
-        # head; exit EX_TEMPFAIL so a supervisor reruns (auto-resumes from last)
-        logger.finish()
-        print(f"preempted by signal {trainer.interrupted}; checkpoint saved")
-        sys.exit(75)
+        if trainer.interrupted is not None:
+            # preempted: don't burn the grace period on a test pass over a
+            # half-trained head; exit EX_TEMPFAIL so a supervisor reruns
+            # (auto-resumes from last)
+            print(f"preempted by signal {trainer.interrupted}; checkpoint saved")
+            sys.exit(75)
 
-    # test pass with resynthesis (reference: downstream.py:63, audio_to_params.py:238-273)
-    for i in range(split.sizes.test):
-        batch_num = split.test_batch_num(i)
-        metrics, true_audio, pred_audio = task.test_step(state, batch_num)
-        logger.log({k: float(v) for k, v in metrics.items()})
-        task.log_audio_triplets(logger, true_audio, pred_audio, batch_idx=i)
-    logger.finish()
+        # test pass with resynthesis (reference: downstream.py:63,
+        # audio_to_params.py:238-273)
+        for i in range(split.sizes.test):
+            batch_num = split.test_batch_num(i)
+            metrics, true_audio, pred_audio = task.test_step(state, batch_num)
+            logger.log({k: float(v) for k, v in metrics.items()})
+            task.log_audio_triplets(logger, true_audio, pred_audio, batch_idx=i)
+    finally:
+        # flush logs for ctrl-C (KeyboardInterrupt) and crashes too
+        logger.finish()
 
 
 if __name__ == "__main__":

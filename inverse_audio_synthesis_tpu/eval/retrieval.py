@@ -86,16 +86,18 @@ class RetrievalEvaluator:
         k = self.inner_chunk
         n_sub = self.candidate_synth.batch_size // k
         params = params.reshape(n_sub, k, params.shape[-1])
-        noise_key = jax.random.fold_in(
-            jax.random.PRNGKey(self.candidate_synth.noise_seed), batch_num
-        )
+        noise_key = jax.random.PRNGKey(self.candidate_synth.noise_seed)
         query_emb = query_emb.astype(jnp.float32)
 
         def body(carry, xs):
             best_dist, best_audio = carry
             sub_params, sub_idx = xs
-            # distinct noise rows per sub-chunk (one big render would also have
-            # distinct rows; the fixed-seed buffer repeats every `k` rows otherwise)
+            # distinct noise rows per sub-chunk, keyed ONLY by sub-chunk index (NOT
+            # the batch number): every candidate batch sees the same noise rows per
+            # position, like torchsynth's fixed pre-generated noise buffer — so a
+            # params-identical candidate reproduces a query's noise component and
+            # retrieval numbers are comparable across runs, without materializing
+            # the full [1024, 176400] buffer (722 MB) that made chunking necessary
             noise = synth_modules.noise(
                 jax.random.fold_in(noise_key, sub_idx), k, self._sub_synth.buffer_size
             )

@@ -66,6 +66,20 @@ def spectrogram(x: jax.Array, power: float = 2.0, **stft_kwargs) -> jax.Array:
     return mag if power == 1.0 else jnp.power(mag, power)
 
 
+def _frame_by_reshape(xb: jax.Array, frame_length: int, hop_length: int, n_frames: int) -> jax.Array:
+    """[B, T] → [B, n_frames, frame_length] with ZERO gathers (gathers are slow on
+    TPU): reshape to hop blocks and concatenate ``frame_length // hop`` consecutive
+    block windows — all layout ops XLA folds away. Requires hop | frame_length and
+    T ≥ (n_frames-1)·hop + frame_length."""
+    blocks_per_frame = frame_length // hop_length
+    n_hops = n_frames - 1 + blocks_per_frame
+    xb = xb[:, : n_hops * hop_length]
+    hops = xb.reshape(xb.shape[0], n_hops, hop_length)
+    return jnp.concatenate(
+        [hops[:, i : i + n_frames] for i in range(blocks_per_frame)], axis=-1
+    )
+
+
 def _windowed_dft_basis(n_fft: int, win_length: int) -> jax.Array:
     """Real-DFT analysis basis [2*n_freq, n_fft]: rows 0..n_freq-1 are cos·window,
     rows n_freq.. are −sin·window (window center-padded to n_fft when shorter).
@@ -132,20 +146,24 @@ def power_spectrogram_matmul(
 ) -> jax.Array:
     """Power spectrogram as reshape-framing + ONE plain matmul on the MXU.
 
-    Requires hop_length to divide n_fft. Frames are built with zero gathers/strided
-    convs: pad to a hop grid, reshape to [., n_hops, hop], and concatenate
-    n_fft//hop consecutive hop-blocks — all layout ops XLA folds away. The windowed
-    DFT is then a dense [.., n_fft] @ [n_fft, 2*n_freq] dot (bf16 operands, fp32
-    accumulation), which tiles onto the MXU far better than the equivalent strided
-    conv (measured ~7 ms → ~1 ms at the benchmark shape). If ``mel_fb`` [n_freq,
-    n_mels] is given, the mel projection is fused here and the return is
-    [..., n_mels, n_frames]; otherwise [..., n_freq, n_frames]."""
+    Works for ARBITRARY hop: the windowed-DFT basis is zero-padded from n_fft rows
+    to the next hop multiple L, so frames of length L built by reshape+concat (zero
+    gathers — see ``_frame_by_reshape``) multiply against zero rows beyond the real
+    window. The DFT is then a dense [.., L] @ [L, 2*n_freq] dot (bf16 operands,
+    fp32 accumulation), which tiles onto the MXU far better than the equivalent
+    strided conv (measured ~7 ms → ~1 ms at the benchmark shape); the zero-row
+    overhead is ≤ hop/n_fft ≈ 5-8% extra FLOPs at the MR-STFT resolutions — far
+    cheaper than gather framing. If ``mel_fb`` [n_freq, n_mels] is given, the mel
+    projection is fused here and the return is [..., n_mels, n_frames]; otherwise
+    [..., n_freq, n_frames]."""
     hop_length = hop_length or n_fft // 4
     win_length = win_length or n_fft
-    assert n_fft % hop_length == 0, (n_fft, hop_length)
     n_freq = n_fft // 2 + 1
-    # [n_fft, 2*n_freq]: transposed so the frame matmul is frames @ basis
-    basis = _windowed_dft_basis(n_fft, win_length).T
+    frame_len = -(-n_fft // hop_length) * hop_length  # next hop multiple ≥ n_fft
+    basis = _windowed_dft_basis(n_fft, win_length)  # [2*n_freq, n_fft]
+    if frame_len > n_fft:
+        basis = jnp.pad(basis, [(0, 0), (0, frame_len - n_fft)])
+    basis = basis.T  # [frame_len, 2*n_freq]: the frame matmul is frames @ basis
 
     lead = x.shape[:-1]
     xb = x.reshape(-1, x.shape[-1])
@@ -153,17 +171,11 @@ def power_spectrogram_matmul(
         pad = n_fft // 2
         xb = jnp.pad(xb, [(0, 0), (pad, pad)], mode=pad_mode)
     t = xb.shape[-1]
-    n_frames = 1 + (t - n_fft) // hop_length
-    blocks_per_frame = n_fft // hop_length
-    # truncate to the hop grid covering the last full frame, then frame by reshape
-    # (need ≤ t always: need = (n_frames-1)·hop + n_fft and n_frames is defined
-    # as the largest count fitting in t)
-    n_hops = n_frames - 1 + blocks_per_frame
-    xb = xb[:, : n_hops * hop_length]
-    hops = xb.reshape(xb.shape[0], n_hops, hop_length)
-    frames = jnp.concatenate(
-        [hops[:, i : i + n_frames] for i in range(blocks_per_frame)], axis=-1
-    )  # [B, n_frames, n_fft]
+    n_frames = 1 + (t - n_fft) // hop_length  # frame count set by the REAL window
+    need = (n_frames - 1) * hop_length + frame_len
+    if need > t:  # tail zeros only meet zero basis rows
+        xb = jnp.pad(xb, [(0, 0), (0, need - t)])
+    frames = _frame_by_reshape(xb, frame_len, hop_length, n_frames)
     y = jax.lax.dot_general(
         frames.astype(compute_dtype),
         basis.astype(compute_dtype),
@@ -192,28 +204,42 @@ def magnitude_stft_matmul(
     pad_mode: str = "reflect",
     compute_dtype=jnp.bfloat16,
 ) -> jax.Array:
-    """STFT magnitude via gather framing + one bf16 DFT matmul on the MXU, for
-    ARBITRARY hops (unlike power_spectrogram_matmul's hop|n_fft requirement).
+    """STFT magnitude via reshape framing + one bf16 DFT matmul on the MXU, for
+    ARBITRARY hops (basis rows zero-padded to the next hop multiple, so framing is
+    pure reshape/concat — see power_spectrogram_matmul; gather framing was measured
+    ~2x slower at the MR-STFT resolutions, and a gcd-strided-slice framing was tried
+    and reverted: sub-lane-width slice tails pad up to 64x on TPU and OOM).
 
     [..., T] → [..., n_freq, n_frames] (torch layout), ~2e-3 relative accuracy vs
     the fp32 FFT path. TPU FFTs are slow (measured ~36 ms for one b128 4-s signal at
     n_fft 1024 / hop 120 vs ~8 ms here); use this for spectral metrics/losses and
-    keep the FFT path where exact parity matters. (A gcd-strided-slice framing was
-    tried and reverted: sub-lane-width slice tails pad up to 64x on TPU and OOM.)"""
+    keep the FFT path where exact parity matters."""
     n_freq = n_fft // 2 + 1
-    basis = _windowed_dft_basis(n_fft, win_length).T
+    frame_len = -(-n_fft // hop_length) * hop_length
+    basis = _windowed_dft_basis(n_fft, win_length)
+    if frame_len > n_fft:
+        basis = jnp.pad(basis, [(0, 0), (0, frame_len - n_fft)])
+    basis = basis.T  # [frame_len, 2*n_freq]
+    lead = x.shape[:-1]
+    xb = x.reshape(-1, x.shape[-1])
     if center:
         pad = n_fft // 2
-        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad, pad)], mode=pad_mode)
-    frames = frame_signal(x, n_fft, hop_length)
+        xb = jnp.pad(xb, [(0, 0), (pad, pad)], mode=pad_mode)
+    t = xb.shape[-1]
+    n_frames = 1 + (t - n_fft) // hop_length
+    need = (n_frames - 1) * hop_length + frame_len
+    if need > t:
+        xb = jnp.pad(xb, [(0, 0), (0, need - t)])
+    frames = _frame_by_reshape(xb, frame_len, hop_length, n_frames)
     y = jax.lax.dot_general(
         frames.astype(compute_dtype),
         basis.astype(compute_dtype),
-        (((frames.ndim - 1,), (0,)), ((), ())),
+        (((2,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # [..., n_frames, 2*n_freq]
+    )  # [B, n_frames, 2*n_freq]
     re, im = y[..., :n_freq], y[..., n_freq:]
-    return jnp.swapaxes(jnp.sqrt(re * re + im * im), -1, -2)
+    mag = jnp.swapaxes(jnp.sqrt(re * re + im * im), -1, -2)
+    return mag.reshape(*lead, *mag.shape[-2:])
 
 
 def hz_to_mel(f, mel_scale: str = "htk"):
@@ -283,18 +309,8 @@ class MelSpectrogram:
         f_max: Optional[float] = None,
         method: str = "fft",  # "fft" (exact) | "conv_bf16" | "matmul_bf16" (MXU, ~1e-3)
     ):
-        if method == "matmul_bf16" and n_fft % hop_length != 0:
-            import logging
-
-            # loud, like the fused-render gate in train/pretrain.py: a silent ~7x
-            # slow-path fallback is undiagnosable from run logs otherwise
-            logging.getLogger(__name__).info(
-                "MelSpectrogram: hop_length=%d does not divide n_fft=%d — "
-                "falling back from matmul_bf16 to conv_bf16 (slower)",
-                hop_length,
-                n_fft,
-            )
-            method = "conv_bf16"  # reshape-framing needs hop | n_fft
+        # matmul_bf16 handles arbitrary hops (zero-padded basis rows), so no
+        # conv_bf16 fallback is needed for non-dividing hops anymore
         self.method = method
         self.n_fft = n_fft
         self.win_length = win_length or n_fft
@@ -381,17 +397,22 @@ def multi_resolution_stft_loss(
     method: str = "fft",  # "fft" (exact) | "matmul_bf16" (MXU, ~2e-3, ~6x faster)
 ) -> jax.Array:
     """auraloss-style MR-STFT loss: mean over resolutions of
-    (spectral convergence + log-magnitude L1). resolutions = (n_fft, hop, win)."""
+    (spectral convergence + log-magnitude L1). resolutions = (n_fft, hop, win).
 
-    def mag(x, n_fft, hop, win):
+    pred and true are stacked into one [2, ...] batch so each resolution costs ONE
+    framing + ONE DFT matmul instead of two — fewer, larger MXU dispatches (part of
+    the measured 90 → ~55 ms downstream-test-step cut)."""
+
+    def mags(x, n_fft, hop, win):
         if method == "matmul_bf16":
             return magnitude_stft_matmul(x, n_fft, hop_length=hop, win_length=win)
         return jnp.abs(stft(x, n_fft=n_fft, hop_length=hop, win_length=win))
 
+    both = jnp.stack([pred, true])
     total = 0.0
     for n_fft, hop, win in resolutions:
-        mp = mag(pred, n_fft, hop, win)
-        mt = mag(true, n_fft, hop, win)
+        m = mags(both, n_fft, hop, win)
+        mp, mt = m[0], m[1]
         total = total + spectral_convergence_loss(mp, mt) + log_stft_magnitude_loss(mp, mt)
     return total / len(resolutions)
 

@@ -34,6 +34,7 @@ class CheckpointManager:
         self.keep = keep
         self._ckpt = ocp.StandardCheckpointer()
         self._waiter: Optional[threading.Thread] = None  # finalizes the async save
+        self._async_error: Optional[BaseException] = None  # raised at next wait()
 
     def _step_dir(self, step: int) -> Path:
         return self.dir / f"step_{step:012d}"
@@ -69,14 +70,27 @@ class CheckpointManager:
         return path
 
     def wait(self) -> None:
-        """Block until any in-flight async save is durable and committed."""
+        """Block until any in-flight async save is durable and committed.
+
+        A failure in the background finalize (e.g. disk full during the orbax
+        write) is captured and RE-RAISED here — otherwise it would die silently in
+        the thread, `last` would never be committed, and a later hard kill would
+        silently resume from an older step."""
         if self._waiter is not None:
             self._waiter.join()
             self._waiter = None
+        if self._async_error is not None:
+            err, self._async_error = self._async_error, None
+            raise RuntimeError(
+                "async checkpoint save failed; `last` was not committed"
+            ) from err
 
     def _finalize_async(self, path: Path) -> None:
-        self._ckpt.wait_until_finished()
-        self._commit(path)
+        try:
+            self._ckpt.wait_until_finished()
+            self._commit(path)
+        except BaseException as e:  # surfaced from the next wait()/save()
+            self._async_error = e
 
     def _commit(self, path: Path) -> None:
         # atomic alias update: a kill mid-write must never leave a torn `last`

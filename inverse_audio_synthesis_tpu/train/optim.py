@@ -71,6 +71,7 @@ def reject_nonfinite_updates(
 
 class FusedLarsState(NamedTuple):
     count: Any
+    total_notfinite: Any
 
 
 def fused_lars(
@@ -79,30 +80,40 @@ def fused_lars(
     trust_coefficient: float = 0.001,
     eps: float = 1e-8,
     exclude_bias_and_norm: bool = False,
+    guard_nonfinite: bool = False,
 ) -> optax.GradientTransformation:
-    """LARS (flash formula, zero momentum — the reference's configuration:
-    vicreg_audio_params.py:134-142) in TWO HBM passes per tensor.
+    """LARS matching lightning-flash EXACTLY (zero momentum — the reference's
+    configuration: vicreg_audio_params.py:134-142) in TWO HBM passes per tensor.
 
     optax.lars lowers to ~5 full passes over each large tensor (w-norm reduce,
     weight-decay add, g-norm reduce, trust scaling, update) — profiled at ~10 ms/step
     on the 143M-param full config, the single biggest step cost. Here pass 1 computes
-    the three scalars sum(w²), sum(g²), sum(w·g) together (XLA multi-output fusion:
-    one read of w and g), from which ‖g + wd·w‖² = g² + 2·wd·wg + wd²·w² EXACTLY;
-    pass 2 forms the scaled update. Same math as lightning-flash LARS up to fp
-    reassociation of the norm sums (parity-tested in tests/test_lars.py):
+    the two scalars sum(w²), sum(g²) together (XLA multi-output fusion: one read of
+    w and g); pass 2 forms the scaled update. flash's formula
+    (flash/core/optimizers/lars.py, parity-tested in tests/test_lars.py):
 
-        g' = g + wd·w
-        local_lr = tc·‖w‖ / (‖g'‖ + eps)   if ‖w‖ > 0 and ‖g'‖ > 0 else 1
-        update = -lr · local_lr · g'
+        if wd == 0:                      update = -lr · g            (plain SGD)
+        elif ‖w‖ > 0 and ‖g‖ > 0:        local_lr = tc·‖w‖ / (‖g‖ + wd·‖w‖ + eps)
+                                         update = -lr · local_lr · (g + wd·w)
+        else:                            update = -lr · g            (no decay either)
 
     ``exclude_bias_and_norm=True`` wires the reference's unused ``exclude_bias_and_norm``
     helper (vicreg.py:98-99, the VICReg paper's recommended masking): 1-D params
     (biases, BN scales) get plain SGD (no weight decay, no trust scaling). Off by
     default — flash LARS, which the reference actually runs, adapts every param.
+
+    ``guard_nonfinite=True`` folds the per-step NaN/Inf rejection (see
+    ``reject_nonfinite_updates``) into the SAME two passes for free: a gradient leaf
+    containing NaN/±Inf makes its already-computed sum(g²) non-finite, so the global
+    finite predicate costs zero extra HBM traffic (the standalone guard's isfinite
+    sweep re-read all 572 MB of fp32 gradients). On a non-finite step every update is
+    zeroed, the schedule count does not advance, and ``total_notfinite`` increments.
+    (A finite-but-fp32-overflowing sum(g²) also rejects — that is a ≥1e19-norm
+    gradient, i.e. a divergence worth rejecting anyway.)
     """
 
     def init(params):
-        return FusedLarsState(jnp.zeros([], jnp.int32))
+        return FusedLarsState(jnp.zeros([], jnp.int32), jnp.zeros([], jnp.int32))
 
     def update(updates, state, params=None):
         assert params is not None, "fused_lars requires params"
@@ -110,26 +121,49 @@ def fused_lars(
         lr = jnp.asarray(lr, jnp.float32)
         wd = weight_decay
 
-        def per_leaf(g, w):
+        def leaf_scalars(g, w):
             gf = g.astype(jnp.float32)
-            wf = w.astype(jnp.float32)
-            if exclude_bias_and_norm and w.ndim == 1:
-                return -lr * gf  # plain SGD: no decay, no trust scaling
-            w2 = jnp.sum(jnp.square(wf))
             g2 = jnp.sum(jnp.square(gf))
-            wg = jnp.sum(wf * gf)
-            gp2 = g2 + 2.0 * wd * wg + (wd * wd) * w2  # ||g + wd w||^2, one pass
-            w_norm = jnp.sqrt(w2)
-            gp_norm = jnp.sqrt(jnp.maximum(gp2, 0.0))
-            local_lr = jnp.where(
-                (w_norm > 0.0) & (gp_norm > 0.0),
-                trust_coefficient * w_norm / (gp_norm + eps),
-                1.0,
-            )
-            return (-lr * local_lr) * (gf + wd * wf)
+            if wd == 0.0 or (exclude_bias_and_norm and w.ndim == 1):
+                return g2, None
+            return g2, jnp.sum(jnp.square(w.astype(jnp.float32)))
 
-        new_updates = jax.tree_util.tree_map(per_leaf, updates, params)
-        return new_updates, FusedLarsState(state.count + 1)
+        scalars = jax.tree_util.tree_map(leaf_scalars, updates, params)
+        isfinite = jnp.array(True)
+        if guard_nonfinite:
+            # g2/w2 sums: any NaN/Inf in the operands makes them non-finite
+            for s in jax.tree_util.tree_leaves(scalars):
+                isfinite = jnp.logical_and(isfinite, jnp.isfinite(s))
+
+        def per_leaf(g, w, sc):
+            gf = g.astype(jnp.float32)
+            g2, w2 = sc
+            if w2 is None:  # wd == 0 or excluded 1-D: flash's plain-SGD path
+                upd = -lr * gf
+            else:
+                wf = w.astype(jnp.float32)
+                w_norm = jnp.sqrt(w2)
+                g_norm = jnp.sqrt(g2)
+                cond = (w_norm > 0.0) & (g_norm > 0.0)
+                local_lr = jnp.where(
+                    cond,
+                    trust_coefficient * w_norm / (g_norm + wd * w_norm + eps),
+                    1.0,
+                )
+                # when the norm gate fails flash leaves d_p = g (no decay, no scaling)
+                upd = -lr * jnp.where(cond, local_lr * (gf + wd * wf), gf)
+            if guard_nonfinite:
+                upd = jnp.where(isfinite, upd, jnp.zeros_like(upd))
+            return upd
+
+        # scalars holds a (g2, w2) tuple at each leaf position of `updates`;
+        # tree_map flattens the rest trees up-to the first tree's leaves, so the
+        # tuples arrive whole at per_leaf
+        new_updates = jax.tree_util.tree_map(per_leaf, updates, params, scalars)
+        ok = isfinite.astype(jnp.int32)
+        return new_updates, FusedLarsState(
+            state.count + ok, state.total_notfinite + (1 - ok)
+        )
 
     return optax.GradientTransformation(init, update)
 
@@ -183,7 +217,10 @@ def make_optimizer(
         if momentum == 0.0:
             # flash LARS applies weight decay and trust scaling to every param; the
             # reference never wires exclude_bias_and_norm in (vicreg.py:98-99 unused)
-            # — it stays an opt-in knob (the VICReg paper's recommended masking)
+            # — it stays an opt-in knob (the VICReg paper's recommended masking).
+            # The non-finite guard folds into the LARS passes for free here, so the
+            # outer reject_nonfinite_updates wrapper (an extra full gradient read)
+            # is skipped.
             exclude = bool(args.get("exclude_bias_and_norm", False))
             tx = fused_lars(
                 learning_rate=schedule,
@@ -191,7 +228,9 @@ def make_optimizer(
                 trust_coefficient=0.001,
                 eps=1e-8,
                 exclude_bias_and_norm=exclude,
+                guard_nonfinite=guard_nonfinite,
             )
+            return tx, schedule
         else:
             exclude = bool(args.get("exclude_bias_and_norm", False))
             adapt = (lambda p: jax.tree_util.tree_map(lambda w: w.ndim > 1, p)) if exclude else True
@@ -224,7 +263,8 @@ def total_notfinite(opt_state) -> Any:
         s = stack.pop()
         if hasattr(s, "total_notfinite"):
             total = total + s.total_notfinite
-            stack.append(s.inner_state)
+            if hasattr(s, "inner_state"):  # guard wrapper; FusedLarsState has none
+                stack.append(s.inner_state)
         elif isinstance(s, (tuple, list)):
             stack.extend(s)
     return total

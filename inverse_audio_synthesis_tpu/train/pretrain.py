@@ -36,6 +36,19 @@ class TrainState(train_state.TrainState):
     batch_stats: Any = None
 
 
+def maybe_bf16_grads(cfg, grads):
+    """Cast ≥2-D weight gradients to bf16 when ``grads_bf16`` is on (and towers run
+    bf16). Inside the jitted step XLA folds the convert into the producing backward
+    matmuls, so the gradients are WRITTEN as bf16 — halving backward grad-write and
+    optimizer grad-read HBM traffic on the 143M-param full config. fused_lars
+    accumulates its norm scalars in fp32 regardless of gradient dtype."""
+    if cfg.get("precision") == "bf16" and cfg.get("grads_bf16", False):
+        return jax.tree_util.tree_map(
+            lambda g: g.astype(jnp.bfloat16) if g.ndim >= 2 else g, grads
+        )
+    return grads
+
+
 def make_render_fn(synth_cfg: SynthConfig, mesh):
     """Render function for this mesh: the fused Pallas kernel on TPU (shard_mapped
     over the 'data' axis when the mesh has >1 data shard, with noise rows keyed by
@@ -211,6 +224,7 @@ class VicregPretrainTask:
         (loss, (new_stats, repr_l, std_l, cov_l)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params)
+        grads = maybe_bf16_grads(self.cfg, grads)
         # lr of the update being applied (before apply_gradients bumps step)
         lr = (
             self.schedule(state.step)

@@ -62,6 +62,14 @@ class Config(dict):
             node = node[p]
         return node
 
+    def has_dotted(self, dotted_key: str) -> bool:
+        node: Any = self
+        for p in dotted_key.split("."):
+            if not isinstance(node, dict) or p not in node:
+                return False
+            node = node[p]
+        return True
+
     def merge(self, other: Dict[str, Any]) -> None:
         for k, v in other.items():
             if k in self and isinstance(self[k], Config) and isinstance(v, dict):
@@ -82,11 +90,17 @@ def _load_yaml(path: Path) -> Dict[str, Any]:
     return data or {}
 
 
-def _parse_override(s: str) -> tuple[str, Any]:
+def _parse_override(s: str) -> tuple[str, Any, bool]:
+    """Returns (key, value, append). A leading ``+`` (hydra's append syntax) marks
+    the override as allowed to CREATE a key absent from the composed tree."""
     if "=" not in s:
         raise ValueError(f"override {s!r} must look like key=value")
     key, _, raw = s.partition("=")
-    return key.strip(), yaml.safe_load(raw) if raw != "" else None
+    key = key.strip()
+    append = key.startswith("+")
+    if append:
+        key = key[1:]
+    return key, yaml.safe_load(raw) if raw != "" else None, append
 
 
 def load_config(
@@ -109,8 +123,8 @@ def load_config(
                 group_choices[str(group)] = str(choice)
     value_overrides: List[str] = []
     for s in overrides:
-        key, val = _parse_override(s)
-        if key in group_choices and isinstance(val, str):
+        key, val, append = _parse_override(s)
+        if not append and key in group_choices and isinstance(val, str):
             group_choices[key] = val
         else:
             value_overrides.append(s)
@@ -120,7 +134,16 @@ def load_config(
         cfg[group] = Config(_load_yaml(config_dir / group / f"{choice}.yaml"))
     cfg.merge(root)
 
+    # strict like hydra: an override naming a key absent from the composed tree is
+    # an ERROR (a typo like vicreg.batchsize=64 must not silently train at the
+    # default batch size — reference surface: pretrain.py:51, README.harmonai:32-33);
+    # prefix with "+" (hydra's append syntax) to create a new key deliberately
     for s in value_overrides:
-        key, val = _parse_override(s)
+        key, val, append = _parse_override(s)
+        if not append and not cfg.has_dotted(key):
+            raise KeyError(
+                f"override {key!r} does not match any key in the composed config "
+                f"(use '+{key}={s.partition('=')[2]}' to add a new key)"
+            )
         cfg.set_dotted(key, val)
     return cfg

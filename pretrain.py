@@ -87,15 +87,19 @@ def app(cfg) -> None:
             print(f"WARNING: could not restore checkpoint step {start} ({e!r}); "
                   "starting fresh")
             start = None
-    if cfg.get("profile_dir"):
-        from inverse_audio_synthesis_tpu.utils.profiling import trace
+    try:
+        if cfg.get("profile_dir"):
+            from inverse_audio_synthesis_tpu.utils.profiling import trace
 
-        with trace(cfg.profile_dir):  # xprof trace of the whole fit
+            with trace(cfg.profile_dir):  # xprof trace of the whole fit
+                trainer.fit(state, start_step=start or 0)
+            print(f"profiler trace written to {cfg.profile_dir}")
+        else:
             trainer.fit(state, start_step=start or 0)
-        print(f"profiler trace written to {cfg.profile_dir}")
-    else:
-        trainer.fit(state, start_step=start or 0)
-    logger.finish()
+    finally:
+        # flush logs for ctrl-C (KeyboardInterrupt) and crashes too, not just the
+        # clean and SIGTERM-preempted exits
+        logger.finish()
     if trainer.interrupted is not None:
         # EX_TEMPFAIL: a restart supervisor must re-run (checkpoint saved; rerunning
         # this command auto-resumes), not read a preempted run as success

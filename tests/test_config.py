@@ -40,3 +40,22 @@ def test_yaml_roundtrip():
     assert "embeddim: 8192" in cfg.to_yaml()
     assert cfg.get_dotted("vicreg.optim.args.base_lr") == 3.2
     assert cfg.get_dotted("nope.nope", "fallback") == "fallback"
+
+
+def test_unknown_override_key_raises():
+    """Strict like hydra: a typo'd override must error, not silently create a dead
+    key (reference surface: pretrain.py:51 + README.harmonai:32-33 — hydra rejects
+    unknown keys in struct mode)."""
+    import pytest
+
+    with pytest.raises(KeyError, match="batchsize"):
+        load_config(overrides=["vicreg.batchsize=64"])  # typo for batch_size
+    with pytest.raises(KeyError):
+        load_config(overrides=["no_such_top_level=1"])
+
+
+def test_plus_prefix_creates_new_key():
+    """Hydra's append syntax: '+key=value' deliberately adds a key."""
+    cfg = load_config(overrides=["+vicreg.my_new_flag=7", "+toplevel.nested=a"])
+    assert cfg.vicreg.my_new_flag == 7
+    assert cfg.toplevel.nested == "a"

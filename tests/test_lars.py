@@ -1,7 +1,9 @@
-"""LARS parity: optax.lars configured as in train/optim.py reproduces the classic
-LARS update rule lightning-flash implements (trust_coefficient · ||w|| / (||g|| +
-wd·||w||) scaling, weight decay added to the gradient, zero momentum — the way the
-reference calls it: vicreg_audio_params.py:134-142)."""
+"""LARS parity: fused_lars reproduces lightning-flash's LARS update rule EXACTLY
+(flash/core/optimizers/lars.py, zero momentum — the way the reference calls it:
+vicreg_audio_params.py:134-142): with weight decay, local_lr = tc·||w|| / (||g|| +
+wd·||w|| + eps) and d_p = (g + wd·w)·local_lr, gated on both norms nonzero; with
+wd == 0 (or a failed norm gate) flash applies NO trust scaling and NO decay —
+plain SGD."""
 
 import numpy as np
 import jax.numpy as jnp
@@ -10,14 +12,15 @@ from inverse_audio_synthesis_tpu.train.optim import make_optimizer
 
 
 def flash_lars_update(w, g, lr, weight_decay, trust_coefficient=0.001, eps=1e-8):
-    g = g + weight_decay * w
-    w_norm = np.linalg.norm(w)
-    g_norm = np.linalg.norm(g)
-    if w_norm > 0 and g_norm > 0:
-        local_lr = trust_coefficient * w_norm / (g_norm + eps)
-    else:
-        local_lr = 1.0
-    return -lr * local_lr * g
+    # transcription of flash/core/optimizers/lars.py step() (momentum=0)
+    d_p = g
+    if weight_decay != 0:
+        w_norm = np.linalg.norm(w)
+        g_norm = np.linalg.norm(g)
+        if w_norm != 0 and g_norm != 0:
+            local_lr = trust_coefficient * w_norm / (g_norm + w_norm * weight_decay + eps)
+            d_p = (g + weight_decay * w) * local_lr
+    return -lr * d_p
 
 
 def test_lars_matches_flash_formula():
@@ -114,11 +117,29 @@ def test_nonfinite_updates_rejected_and_counted():
 
 
 def test_lars_weight_decay_applied():
+    rng = np.random.RandomState(2)
+    w = np.ones((4, 4), np.float32)
+    g = rng.randn(4, 4).astype(np.float32) * 0.01
+    tx, _ = make_optimizer(
+        {"name": "lars", "args": {"base_lr": 2.0, "weight_decay": 0.1}}, 256
+    )
+    params = {"w": jnp.asarray(w)}
+    state = tx.init(params)
+    upd, _ = tx.update({"w": jnp.asarray(g)}, state, params)
+    lr = 256 / 256.0 * 2.0
+    expected = flash_lars_update(w, g, lr, 0.1)
+    np.testing.assert_allclose(np.asarray(upd["w"]), expected, rtol=1e-4, atol=1e-7)
+    # decay direction present: differs from the plain-SGD update
+    assert float(jnp.abs(upd["w"] - (-lr * jnp.asarray(g))).max()) > 0
+
+
+def test_lars_zero_grad_matches_flash_no_op():
+    """flash's norm gate: with a zero gradient (g_norm == 0) the update is exactly
+    zero — no decay is applied outside the gate (flash/core/optimizers/lars.py)."""
     tx, _ = make_optimizer(
         {"name": "lars", "args": {"base_lr": 2.0, "weight_decay": 0.1}}, 256
     )
     params = {"w": jnp.ones((4, 4))}
     state = tx.init(params)
-    upd_zero_grad, _ = tx.update({"w": jnp.zeros((4, 4))}, state, params)
-    # with zero gradient, the update is pure (trust-scaled) weight decay — nonzero
-    assert float(jnp.abs(upd_zero_grad["w"]).max()) > 0
+    upd, _ = tx.update({"w": jnp.zeros((4, 4))}, state, params)
+    np.testing.assert_array_equal(np.asarray(upd["w"]), 0.0)

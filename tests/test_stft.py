@@ -187,6 +187,11 @@ def test_mel_matmul_method():
     assert a.shape == b.shape
     rel = np.abs(a - b) / (np.abs(a) + 1e-3 * a.max())
     assert np.median(rel) < 0.05
-    # non-dividing hop falls back to the conv path, still correct
-    mel_fb = MelSpectrogram(44100, 1024, None, 500, n_mels=64, method="matmul_bf16")
-    assert mel_fb.method == "conv_bf16"
+    # non-dividing hop: handled natively by the zero-padded-basis reshape framing
+    mel_nd_fft = MelSpectrogram(44100, 1024, None, 500, n_mels=64)
+    mel_nd_mm = MelSpectrogram(44100, 1024, None, 500, n_mels=64, method="matmul_bf16")
+    assert mel_nd_mm.method == "matmul_bf16"
+    c, d = np.asarray(mel_nd_fft(x)), np.asarray(mel_nd_mm(x))
+    assert c.shape == d.shape
+    rel = np.abs(c - d) / (np.abs(c) + 1e-3 * c.max())
+    assert np.median(rel) < 0.05

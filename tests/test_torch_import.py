@@ -164,3 +164,44 @@ def test_vision_weights_load_through_config_path(tmp_path):
         jax.tree_util.tree_map(np.asarray, base.params["backbone_param"]),
         jax.tree_util.tree_map(np.asarray, loaded.params["backbone_param"]),
     )
+
+
+def test_committed_vision_fixture_loads_exactly():
+    """The COMMITTED synthetic "pretrained" trunk fixture (tests/golden/
+    vision_trunk_fixture.pkl, regenerable via tools/make_vision_fixture.py)
+    exercises the full config→file→load→train path in CI: with
+    vicreg.vision_weights_path set, every trunk leaf of the initialized state must
+    EQUAL the fixture (reference default trains from ImageNet init:
+    vicreg_audio_params.py:52-54, conf/vicreg/full.yaml:28 — real weights are
+    impossible in this zero-egress image)."""
+    import pickle
+    from pathlib import Path
+
+    from conftest import tiny_overrides
+    from inverse_audio_synthesis_tpu.parallel.mesh import create_mesh
+    from inverse_audio_synthesis_tpu.train.pretrain import VicregPretrainTask
+    from inverse_audio_synthesis_tpu.utils.config import load_config
+
+    fixture = Path(__file__).parent / "golden" / "vision_trunk_fixture.pkl"
+    with open(fixture, "rb") as f:
+        blob = pickle.load(f)
+
+    cfg = load_config(
+        overrides=tiny_overrides(**{"vicreg.vision_weights_path": str(fixture)})
+    )
+    mesh = create_mesh(data=1, model=1, devices=jax.devices()[:1])
+    task = VicregPretrainTask(cfg, mesh)
+    state = task.init_state()
+
+    trunk = state.params["backbone_audio"]["vision_model"]
+    key = lambda item: jax.tree_util.keystr(item[0])
+    got = sorted(jax.tree_util.tree_leaves_with_path(trunk), key=key)
+    want = sorted(jax.tree_util.tree_leaves_with_path(blob["params"]), key=key)
+    assert len(got) == len(want) and len(got) > 0
+    for (pg, g), (pw, w) in zip(got, want):
+        assert jax.tree_util.keystr(pg) == jax.tree_util.keystr(pw)
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+    # and one train step from the fixture init is finite
+    state, metrics = task.train_step(state, 0)
+    assert np.isfinite(float(metrics["vicreg/train/loss"]))
