@@ -32,6 +32,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from inverse_audio_synthesis_tpu.ops.math_ops import exp2_accurate
+
 BATCH_TILE = 32  # best measured at batch 128 (8: 8.1ms, 16: 7.1ms, 32: 6.7ms); 64 exceeds VMEM
 
 
@@ -87,38 +89,48 @@ def _kernel(
     tri_r = jnp.triu(jnp.ones((r, r), jnp.float32))  # x @ tri_r = inclusive prefix
     tri_s = jnp.triu(jnp.ones((s, s), jnp.float32), k=1)  # strict: exclusive prefix
 
+    def dot_f32_split(x, tri):
+        """x @ tri at ~fp32 accuracy on the MXU. Mosaic lowers fp32 dots by
+        truncating operands to bf16 and IGNORES precision=HIGHEST (measured: the
+        on-chip parity gate fails identically with and without it), which costs
+        ~0.4% relative per product — fatal for phase (totals reach 2π, so late
+        segments drift ~0.2 rad). Split x = hi + lo with hi = bf16(x): hi's
+        products against the 0/1 triangular matrix are EXACT (both operands
+        bf16-representable, fp32 accumulation), and lo is ~2^-9 smaller so its own
+        bf16 rounding is ~1e-5 relative — two cheap matmuls ≈ one fp32 matmul."""
+        hi = x.astype(jnp.bfloat16).astype(jnp.float32)
+        lo = x - hi
+        dims = (((1,), (0,)), ((), ()))
+        return jax.lax.dot_general(
+            hi, tri, dims, preferred_element_type=jnp.float32
+        ) + jax.lax.dot_general(lo, tri, dims, preferred_element_type=jnp.float32)
+
     two_pi = 2.0 * jnp.pi
 
     def integrate_phase(pitch_mod, base_midi, mod_depth, slot):
         """Phase (mod 2π-equivalent) — offsets and carry are wrapped so fp32 trig
         stays accurate (unwrapped phase would reach ~1e5 rad)."""
         midi = jnp.clip(base_midi + mod_depth * pitch_mod, 0.0, 127.0)
-        freq = 440.0 * jnp.exp2((midi - 69.0) / 12.0)
+        # exp2_accurate: bit-reproducible across XLA/Mosaic (the builtins are two
+        # different ~5e-6 approximations — fatal across ~1e5 rad of phase)
+        freq = 440.0 * exp2_accurate((midi - 69.0) / 12.0)
         dphi = (2.0 * jnp.pi / sample_rate) * freq  # [Bt, S, R]
-        # Prefix sum on the MXU. A plain fp32 dot truncates operands to bf16 (phase
-        # drifts audibly); HIGHEST costs 6 passes. Instead decompose dphi into its
-        # per-segment mean (prefix = (j+1)·mean, computed exactly elementwise) plus a
-        # small residual whose bf16 prefix error is ~0.4% of an already-tiny value.
+        # Prefix sum on the MXU via split-precision dots (see dot_f32_split; the
+        # wrapped totals reach 2π, so bf16-truncated products would drift the phase
+        # of late segments by ~0.2 rad → ~5% waveform RMS, caught by bench.py's
+        # on-chip parity gate — interpret-mode tests can't see MXU truncation).
+        # The mean part of the prefix is (j+1)·mean, computed exactly elementwise;
+        # the matmuls carry only the residual and the per-segment totals.
         mean_s = jnp.mean(dphi, axis=2, keepdims=True)  # [Bt, S, 1]
         delta = dphi - mean_s
-        within_delta = jax.lax.dot_general(
-            delta.reshape(bt * s, r),
-            tri_r,
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).reshape(bt, s, r)
+        within_delta = dot_f32_split(delta.reshape(bt * s, r), tri_r).reshape(bt, s, r)
         ramp = (
             jax.lax.broadcasted_iota(jnp.int32, (1, 1, r), 2).astype(jnp.float32) + 1.0
         )
         within = mean_s * ramp + within_delta
         totals = jnp.mod(within[:, :, r - 1], two_pi)  # [Bt, S]
         seg_offset = jnp.mod(
-            jax.lax.dot_general(
-                totals, tri_s, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            ),
-            two_pi,
+            dot_f32_split(totals, tri_s), two_pi
         )  # exclusive prefix over segments, wrapped
         carry = carry_ref[:, slot][:, None]
         phase = within + jnp.mod(seg_offset + carry, two_pi)[:, :, None]

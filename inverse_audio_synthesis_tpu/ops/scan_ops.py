@@ -36,6 +36,38 @@ def _lower_triangular(n: int) -> np.ndarray:
     return np.tril(np.ones((n, n), dtype=np.float32))
 
 
+def _prefix_within_chunks(xc: jax.Array, tri: jax.Array) -> jax.Array:
+    """Inclusive prefix sum along the last (chunk) axis via the MXU, at ~fp32
+    accuracy on every backend.
+
+    On CPU a plain fp32 einsum is exact. On TPU, XLA lowers fp32 dots by
+    truncating operands to bf16 and — measured on-device (see
+    ops/pallas/render.py ``dot_f32_split``) — ``precision=HIGHEST`` is NOT
+    honored on this path, which cost the phase integration 0.5 rad of drift
+    over a 4-s buffer. So on TPU the prefix is decomposed exactly like the
+    fused Pallas kernel: per-chunk mean × ramp (exact elementwise) plus the
+    residual's prefix via split hi/lo dots — hi = bf16(x) has EXACT products
+    against the 0/1 triangular matrix, and lo is ~2^-9 smaller so its own bf16
+    truncation is ~1e-5 relative. Keeping the two paths structurally identical
+    also keeps the jnp reference and the Pallas kernel numerically in lockstep
+    (bench.py's on-chip parity gate)."""
+    if jax.default_backend() != "tpu":
+        return jnp.einsum(
+            "...nc,dc->...nd", xc, tri, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    chunk = xc.shape[-1]
+    mean = jnp.mean(xc, axis=-1, keepdims=True)
+    delta = xc - mean
+    hi = delta.astype(jnp.bfloat16).astype(jnp.float32)
+    lo = delta - hi
+    within_delta = jnp.einsum(
+        "...nc,dc->...nd", hi, tri, preferred_element_type=jnp.float32
+    ) + jnp.einsum("...nc,dc->...nd", lo, tri, preferred_element_type=jnp.float32)
+    ramp = jnp.arange(1, chunk + 1, dtype=jnp.float32)
+    return mean * ramp + within_delta
+
+
 def chunked_cumsum(x: jax.Array, chunk: int = 128) -> jax.Array:
     """Cumulative sum over the last axis; last axis must be divisible by ``chunk``."""
     *lead, t = x.shape
@@ -46,10 +78,7 @@ def chunked_cumsum(x: jax.Array, chunk: int = 128) -> jax.Array:
     # within-chunk inclusive prefix sum as x @ upper-tri == tril @ x^T; use dot with
     # the transposed lower-triangular so the contraction hits the MXU
     tri = jnp.asarray(_lower_triangular(chunk))  # tri[i, j] = j <= i
-    within = jnp.einsum(
-        "...nc,dc->...nd", xc, tri, preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,  # fp32-exact prefix (no bf16 MXU passes)
-    )
+    within = _prefix_within_chunks(xc, tri)
     # chunk offsets: exclusive cumsum of chunk totals (chunk-rate, tiny)
     totals = within[..., -1]
     offsets = jnp.cumsum(totals, axis=-1) - totals
@@ -74,10 +103,7 @@ def phase_cumsum(dphi: jax.Array, chunk: int = 128) -> jax.Array:
     n_chunks = t // chunk
     xc = dphi.reshape(*lead, n_chunks, chunk)
     tri = jnp.asarray(_lower_triangular(chunk))
-    within = jnp.einsum(
-        "...nc,dc->...nd", xc, tri, preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
+    within = _prefix_within_chunks(xc, tri)
     totals = jnp.mod(within[..., -1], two_pi)
     offsets = jnp.mod(jnp.cumsum(totals, axis=-1) - totals, two_pi)
     return (within + offsets[..., None]).reshape(*lead, t)

@@ -17,13 +17,17 @@ from typing import Dict, Tuple
 import jax
 import jax.numpy as jnp
 
+from inverse_audio_synthesis_tpu.ops.math_ops import exp2_accurate
 from inverse_audio_synthesis_tpu.ops.scan_ops import linear_upsample, phase_cumsum
 
 _EPS = 1e-9
 
 
 def midi_to_hz(midi):
-    return 440.0 * jnp.exp2((midi - 69.0) / 12.0)
+    # exp2_accurate, not jnp.exp2: the builtin's XLA and Mosaic lowerings are
+    # different ~5e-6 approximations, which de-syncs the fused Pallas render from
+    # this path by ~0.4 rad of phase over 4 s (see ops/math_ops.py)
+    return 440.0 * exp2_accurate((midi - 69.0) / 12.0)
 
 
 # ---------------------------------------------------------------------------
@@ -140,8 +144,10 @@ def _vco_argument(
     )
     freq = midi_to_hz(control_as_midi)
     # audio-rate phase integration: chunked prefix on the MXU with 2π-wrapped offsets —
-    # unwrapped phase reaches ~1e5 rad where fp32 trig loses all accuracy
-    argument = phase_cumsum(2.0 * jnp.pi * freq / sample_rate)
+    # unwrapped phase reaches ~1e5 rad where fp32 trig loses all accuracy.
+    # dphi as freq × one precomputed constant (single rounding), the exact op order
+    # the Pallas kernel uses, so both paths see bit-identical phase increments
+    argument = phase_cumsum((2.0 * jnp.pi / sample_rate) * freq)
     return argument + initial_phase[:, None], control_as_midi
 
 

@@ -1,6 +1,7 @@
 """Golden regression values for the synth: pins the seed→params→audio contract so any
 accidental semantic change (param table order, curve warps, DSP math, PRNG keying)
-fails loudly. Values recorded from the CPU fp32 jnp path (2026-08-16)."""
+fails loudly. Values recorded from the CPU fp32 jnp path (2026-08-17, after the
+switch to the cross-backend-reproducible exp2 in ops/math_ops.py)."""
 
 import numpy as np
 
@@ -20,14 +21,14 @@ GOLDEN_PARAMS_ROW0_HEAD = [
     0.8668047189712524,
 ]
 GOLDEN_AUDIO_ROW0_22050 = [
-    0.9902714490890503,
-    0.6760078072547913,
-    -0.6897236108779907,
-    -0.2686462998390198,
-    0.4550056755542755,
-    -0.25794562697410583,
+    0.9904483556747437,
+    0.6762011051177979,
+    -0.6895157098770142,
+    -0.26842552423477173,
+    0.45523765683174133,
+    -0.2577044367790222,
 ]
-GOLDEN_RMS = [0.6319786906242371, 0.6535094976425171]
+GOLDEN_RMS = [0.6319794058799744, 0.6535094976425171]
 
 
 def test_golden_params():
@@ -37,7 +38,7 @@ def test_golden_params():
 
 def test_golden_artifact():
     """Committed golden artifact (tests/golden/voice_batch1234.npz, CPU fp32,
-    2026-08-16): pins the full 78-param draw and the rendered waveform for batch
+    2026-08-17): pins the full 78-param draw and the rendered waveform for batch
     1234 at batch_size=4 across refactors — the WAV-golden analog of torchsynth's
     reproducibility contract (synth1B1 canonical batches)."""
     from pathlib import Path
