@@ -177,3 +177,28 @@ def test_mel_l1_backprop_through_synth(pretrain):
         losses.append(float(m["audio_to_params/train/loss"]))
         assert np.isfinite(losses[-1])
     assert losses[-1] < losses[0], losses  # gradients through the synth reduce mel L1
+
+
+def test_param_mse_objective_and_baseline_floors(pretrain):
+    """The direct-supervision objective trains (loss finite and decreasing over a
+    repeated batch), and the test metrics carry the trivial-baseline floors: the
+    constant-0.5 predictor's param-MAE ≈ 0.25 on uniform params and the silence
+    predictor's spectral distances (every headline metric needs a floor to beat)."""
+    cfg, mesh, pre_task, pre_state = pretrain
+    cfg2 = tiny_cfg(
+        **{"audio_to_params.batch_size": 8, "audio_to_params.loss": "param_mse"}
+    )
+    task = AudioToParamsTask(cfg2, mesh, pre_task, pre_state)
+    state = task.init_state()
+    losses = []
+    for _ in range(8):
+        state, metrics = task.train_step(state, 21)  # same batch: must overfit
+        losses.append(float(metrics["audio_to_params/train/loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+
+    metrics, _, _ = task.test_step(state, 99)
+    const05 = float(metrics["audio_to_params/baseline/param_mae_const05"])
+    assert 0.15 < const05 < 0.35  # ≈0.25 for uniform [0,1] params
+    assert float(metrics["audio_to_params/baseline/mel_l1_silence"]) > 0
+    assert float(metrics["audio_to_params/baseline/mrstft_silence"]) > 0
