@@ -38,6 +38,34 @@ def app(cfg) -> None:
     emb = task.embed_audio(state, audio)
     print(tuple(emb.shape))
 
+    # the full HEAR API surface (exceeds the reference's shape-print stub):
+    # scene embeddings + 50 ms-hop timestamp embeddings on a 2.5-window clip
+    from inverse_audio_synthesis_tpu.eval.hear import (
+        HearModel,
+        get_scene_embeddings,
+        get_timestamp_embeddings,
+    )
+
+    model = HearModel(
+        task=task,
+        state=state,
+        sample_rate=cfg.torchsynth.rate,
+        scene_embedding_size=cfg.dim,
+        timestamp_embedding_size=cfg.dim,
+    )
+    clip = jax.random.uniform(
+        jax.random.PRNGKey(1),
+        (2, int(2.5 * task.synth.buffer_size)),
+        minval=-1.0,
+        maxval=1.0,
+    )
+    scene = get_scene_embeddings(clip, model)
+    ts_emb, ts = get_timestamp_embeddings(clip, model)
+    print(
+        f"scene {tuple(scene.shape)}; timestamps {tuple(ts_emb.shape)} "
+        f"at {float(ts[0, 1] - ts[0, 0]):.1f} ms hop"
+    )
+
 
 if __name__ == "__main__":
     app(load_config(overrides=sys.argv[1:]))

@@ -5,8 +5,9 @@ output shape (reference: heareval.py:10-19). This module provides the actual HEA
 surface (load_model / get_scene_embeddings / get_timestamp_embeddings) over the
 pretrained audio tower, so the representations can be evaluated on HEAR-style tasks.
 
-Audio of arbitrary length is handled by tiling/cropping into the tower's native
-window (the synth buffer) and averaging window embeddings.
+Scene embeddings tile/crop audio into the tower's native window (the synth buffer)
+and average window embeddings; timestamp embeddings run the tower over windows
+centered at a configurable hop (default 50 ms, HEAR's event-detection granularity).
 """
 
 from __future__ import annotations
@@ -69,12 +70,38 @@ def get_scene_embeddings(audio: jax.Array, model: HearModel) -> jax.Array:
 
 
 def get_timestamp_embeddings(
-    audio: jax.Array, model: HearModel
+    audio: jax.Array, model: HearModel, hop_ms: float = 50.0, chunk: int = 64
 ) -> Tuple[jax.Array, jax.Array]:
-    """[B, T] → ([B, n_win, dim] embeddings, [B, n_win] center timestamps in ms)."""
-    wins = _window(audio, model.window_samples)
-    b, n_win, w = wins.shape
-    emb = model.task.embed_audio(model.state, wins.reshape(b * n_win, 1, w))
-    emb = emb.reshape(b, n_win, -1)
-    centers = (jnp.arange(n_win) + 0.5) * (w / model.sample_rate) * 1000.0
-    return emb, jnp.broadcast_to(centers[None, :], (b, n_win))
+    """[B, T] → ([B, n_ts, dim] embeddings, [B, n_ts] center timestamps in ms).
+
+    HEAR-style timestamp embeddings at ``hop_ms`` granularity (default 50 ms, the
+    benchmark's event-detection hop) rather than one per native window: each
+    timestamp's embedding is the audio tower applied to the model's native window
+    CENTERED on that timestamp, zero-padded at the clip edges. Windows are
+    gathered and embedded in chunks of ``chunk`` timestamps so the [n_ts, window]
+    expansion never materializes at once (a 4-s clip at 50 ms hop is 80 windows
+    × 176,400 samples)."""
+    b, t = audio.shape
+    w = model.window_samples
+    hop = max(1, int(round(model.sample_rate * hop_ms / 1000.0)))
+    n_ts = max(1, -(-t // hop))
+    centers = (jnp.arange(n_ts, dtype=jnp.int32) * hop + hop // 2).astype(jnp.int32)
+    # window k covers [center_k - w/2, center_k + w/2) in clip coordinates; after
+    # a w/2 left pad its start index is exactly center_k, and a w right pad keeps
+    # every window in bounds (centers < t)
+    padded = jnp.pad(audio, ((0, 0), (w // 2, w)))
+    offsets = jnp.arange(w, dtype=jnp.int32)
+    # pad the timestamp axis to a chunk multiple: every embed call compiles once
+    n_pad = -(-n_ts // chunk) * chunk
+    starts = jnp.pad(centers, (0, n_pad - n_ts))
+    embs = []
+    for i in range(0, n_pad, chunk):
+        idx = starts[i : i + chunk, None] + offsets[None, :]  # [chunk, w]
+        wins = padded[:, idx]  # [B, chunk, w]
+        emb = model.task.embed_audio(
+            model.state, wins.reshape(b * chunk, 1, w)
+        )
+        embs.append(emb.reshape(b, chunk, -1))
+    emb = jnp.concatenate(embs, axis=1)[:, :n_ts]
+    ts = centers.astype(jnp.float32) * 1000.0 / model.sample_rate
+    return emb, jnp.broadcast_to(ts[None, :], (b, n_ts))
