@@ -134,6 +134,33 @@ def power_spectrogram_conv(
     return (re * re + im * im).reshape(*lead, n_freq, y.shape[-1])
 
 
+def _dft_dot(frames: jax.Array, basis: jax.Array, compute_dtype) -> jax.Array:
+    """``frames @ basis`` (contract last axis of frames with axis 0 of basis) with
+    fp32 accumulation.
+
+    ``compute_dtype="f32_split"`` reaches ~1e-6 relative accuracy on the MXU with
+    THREE bf16 matmuls: split each operand x = hi + lo with hi = bf16(x) — hi·hi
+    products are exact in fp32 accumulation (8-bit mantissas), hi·lo and lo·hi
+    carry the first-order residuals, and the dropped lo·lo term is ~2^-16
+    relative. This exists because TPU fp32 dots truncate operands to bf16 and
+    ``precision=HIGHEST`` is not honored on this path (measured — see
+    ops/pallas/render.py ``dot_f32_split``), so a "plain fp32" matmul is silently
+    ~4e-3 relative; three bf16 passes are both faster and ~3 decades more
+    accurate than that."""
+    dims = (((frames.ndim - 1,), (0,)), ((), ()))
+
+    def dot(a, b):
+        return jax.lax.dot_general(a, b, dims, preferred_element_type=jnp.float32)
+
+    if compute_dtype == "f32_split":
+        fh = frames.astype(jnp.bfloat16)
+        fl = (frames - fh.astype(jnp.float32)).astype(jnp.bfloat16)
+        bh = basis.astype(jnp.bfloat16)
+        bl = (basis - bh.astype(jnp.float32)).astype(jnp.bfloat16)
+        return dot(fh, bh) + dot(fh, bl) + dot(fl, bh)
+    return dot(frames.astype(compute_dtype), basis.astype(compute_dtype))
+
+
 def power_spectrogram_matmul(
     x: jax.Array,
     n_fft: int = 1024,
@@ -176,21 +203,11 @@ def power_spectrogram_matmul(
     if need > t:  # tail zeros only meet zero basis rows
         xb = jnp.pad(xb, [(0, 0), (0, need - t)])
     frames = _frame_by_reshape(xb, frame_len, hop_length, n_frames)
-    y = jax.lax.dot_general(
-        frames.astype(compute_dtype),
-        basis.astype(compute_dtype),
-        (((2,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [B, n_frames, 2*n_freq]
+    y = _dft_dot(frames, basis, compute_dtype)  # [B, n_frames, 2*n_freq]
     re, im = y[..., :n_freq], y[..., n_freq:]
     spec = re * re + im * im  # [B, n_frames, n_freq]
     if mel_fb is not None:
-        spec = jax.lax.dot_general(
-            spec.astype(compute_dtype),
-            mel_fb.astype(compute_dtype),
-            (((2,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [B, n_frames, n_mels]
+        spec = _dft_dot(spec, mel_fb, compute_dtype)  # [B, n_frames, n_mels]
     out = jnp.swapaxes(spec, -1, -2)
     return out.reshape(*lead, *out.shape[-2:])
 
@@ -231,12 +248,7 @@ def magnitude_stft_matmul(
     if need > t:
         xb = jnp.pad(xb, [(0, 0), (0, need - t)])
     frames = _frame_by_reshape(xb, frame_len, hop_length, n_frames)
-    y = jax.lax.dot_general(
-        frames.astype(compute_dtype),
-        basis.astype(compute_dtype),
-        (((2,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [B, n_frames, 2*n_freq]
+    y = _dft_dot(frames, basis, compute_dtype)  # [B, n_frames, 2*n_freq]
     re, im = y[..., :n_freq], y[..., n_freq:]
     mag = jnp.swapaxes(jnp.sqrt(re * re + im * im), -1, -2)
     return mag.reshape(*lead, *mag.shape[-2:])
@@ -307,9 +319,11 @@ class MelSpectrogram:
         mel_scale: str = "htk",
         f_min: float = 0.0,
         f_max: Optional[float] = None,
-        method: str = "fft",  # "fft" (exact) | "conv_bf16" | "matmul_bf16" (MXU, ~1e-3)
+        # "fft" (exact fp32) | "conv_bf16" | "matmul_bf16" (MXU, ~2e-3 rel)
+        # | "matmul_f32" (MXU split hi/lo, ~1e-6 rel at ~2x matmul_bf16 cost)
+        method: str = "fft",
     ):
-        # matmul_bf16 handles arbitrary hops (zero-padded basis rows), so no
+        # matmul_* handles arbitrary hops (zero-padded basis rows), so no
         # conv_bf16 fallback is needed for non-dividing hops anymore
         self.method = method
         self.n_fft = n_fft
@@ -325,7 +339,8 @@ class MelSpectrogram:
         )
 
     def __call__(self, x: jax.Array) -> jax.Array:
-        if self.method == "matmul_bf16":
+        if self.method in ("matmul_bf16", "matmul_f32"):
+            dtype = "f32_split" if self.method == "matmul_f32" else jnp.bfloat16
             if self.power == 2.0:
                 return power_spectrogram_matmul(
                     x,
@@ -334,6 +349,7 @@ class MelSpectrogram:
                     win_length=self.win_length,
                     center=self.center,
                     pad_mode=self.pad_mode,
+                    compute_dtype=dtype,
                     mel_fb=self.fb,
                 )
             spec = power_spectrogram_matmul(
@@ -343,6 +359,7 @@ class MelSpectrogram:
                 win_length=self.win_length,
                 center=self.center,
                 pad_mode=self.pad_mode,
+                compute_dtype=dtype,
             )
             spec = jnp.power(jnp.sqrt(jnp.maximum(spec, 0.0)), self.power)
         elif self.method == "conv_bf16":
@@ -394,7 +411,9 @@ def multi_resolution_stft_loss(
         (2048, 240, 1200),
         (512, 50, 240),
     ),
-    method: str = "fft",  # "fft" (exact) | "matmul_bf16" (MXU, ~2e-3, ~6x faster)
+    # "fft" (exact fp32) | "matmul_bf16" (MXU, ~2e-3, ~6x faster) | "matmul_f32"
+    # (MXU split hi/lo, ~1e-6 rel, ~2x matmul_bf16 cost)
+    method: str = "fft",
 ) -> jax.Array:
     """auraloss-style MR-STFT loss: mean over resolutions of
     (spectral convergence + log-magnitude L1). resolutions = (n_fft, hop, win).
@@ -404,8 +423,11 @@ def multi_resolution_stft_loss(
     the measured 90 → ~55 ms downstream-test-step cut)."""
 
     def mags(x, n_fft, hop, win):
-        if method == "matmul_bf16":
-            return magnitude_stft_matmul(x, n_fft, hop_length=hop, win_length=win)
+        if method in ("matmul_bf16", "matmul_f32"):
+            dtype = "f32_split" if method == "matmul_f32" else jnp.bfloat16
+            return magnitude_stft_matmul(
+                x, n_fft, hop_length=hop, win_length=win, compute_dtype=dtype
+            )
         return jnp.abs(stft(x, n_fft=n_fft, hop_length=hop, win_length=win))
 
     both = jnp.stack([pred, true])
