@@ -97,11 +97,33 @@ def app(cfg) -> None:
 
         # test pass with resynthesis (reference: downstream.py:63,
         # audio_to_params.py:238-273)
+        import numpy as np
+
+        from inverse_audio_synthesis_tpu.synth.voice import VOICE_PARAM_SPECS
+
+        per_param_rows = []
         for i in range(split.sizes.test):
             batch_num = split.test_batch_num(i)
             metrics, true_audio, pred_audio = task.test_step(state, batch_num)
+            per_param_rows.append(
+                np.asarray(metrics.pop("audio_to_params/test/param_mae_per_param"))
+            )
             logger.log({k: float(v) for k, v in metrics.items()})
             task.log_audio_triplets(logger, true_audio, pred_audio, batch_idx=i)
+        # per-parameter MAE breakdown: which of the 78 params the head actually
+        # learned (identifiable ones should be far below the 0.25 chance floor)
+        per_param = np.mean(per_param_rows, axis=0)
+        csv_path = Path(logger.dir) / "param_mae_per_param.csv"
+        with open(csv_path, "w") as f:
+            f.write("module,name,mae\n")
+            for spec, mae in zip(VOICE_PARAM_SPECS, per_param):
+                f.write(f"{spec.module},{spec.name},{mae:.6f}\n")
+        order = np.argsort(per_param)
+        print(f"per-param MAE written to {csv_path}")
+        print("best-learned params:")
+        for j in order[:8]:
+            s = VOICE_PARAM_SPECS[j]
+            print(f"  {s.module}.{s.name}: {per_param[j]:.4f}")
     finally:
         # flush logs for ctrl-C (KeyboardInterrupt) and crashes too
         logger.finish()

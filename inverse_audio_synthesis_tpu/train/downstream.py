@@ -246,6 +246,13 @@ class AudioToParamsTask:
             "audio_to_params/baseline/mrstft_silence": multi_resolution_stft_loss(
                 silence, true_audio, method=self._spectral_method
             ),
+            # [nparams] vector (not a logged scalar — the CLI writes it as CSV):
+            # identifiable params (pitch, gains, envelope times) should sit far
+            # below the 0.25 chance floor while structurally unidentifiable ones
+            # (e.g. params behind a zeroed mixer level) stay near it
+            "audio_to_params/test/param_mae_per_param": jnp.mean(
+                jnp.abs(pred_params - params01), axis=0
+            ),
         }
         return metrics, pred_audio
 
