@@ -37,43 +37,42 @@ def _lower_triangular(n: int) -> np.ndarray:
 
 
 def _prefix_within_chunks(xc: jax.Array, tri: jax.Array) -> jax.Array:
-    """Inclusive prefix sum along the last (chunk) axis via the MXU, at ~fp32
-    accuracy on every backend.
+    """Inclusive prefix sum along the last (chunk) axis via the MXU, at fp32
+    accuracy on every backend: ``precision=HIGHEST`` forces the bf16x6 fp32
+    emulation on TPU (measured on-chip: 7.6e-6 max err vs 8.2e-2 for the
+    default bf16-truncated dot at phase magnitudes; same wall clock at this
+    tiny shape).
 
-    On CPU a plain fp32 einsum is exact. On TPU, XLA lowers fp32 dots by
-    truncating operands to bf16 and — measured on-device (see
-    ops/pallas/render.py ``dot_f32_split``) — ``precision=HIGHEST`` is NOT
-    honored on this path, which cost the phase integration 0.5 rad of drift
-    over a 4-s buffer. So on TPU the prefix is decomposed exactly like the
-    fused Pallas kernel: per-chunk mean × ramp (exact elementwise) plus the
-    residual's prefix via split hi/lo dots — hi = bf16(x) has EXACT products
-    against the 0/1 triangular matrix, and lo is ~2^-9 smaller so its own bf16
-    truncation is ~1e-5 relative. Keeping the two paths structurally identical
-    also keeps the jnp reference and the Pallas kernel numerically in lockstep
-    (bench.py's on-chip parity gate)."""
-    if jax.default_backend() != "tpu":
-        return jnp.einsum(
-            "...nc,dc->...nd", xc, tri, preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+    Do NOT replicate the Pallas kernel's manual hi/lo bf16 split here: XLA's
+    simplifier folds the ``astype(bf16).astype(f32)`` round-trip away (measured:
+    hi==x, lo==0, split ≡ one truncated dot), so the split only works under
+    Mosaic, where ``precision=HIGHEST`` is the thing that is ignored instead —
+    each compiler needs its own spelling of "exact fp32 dot against a 0/1
+    matrix" (see ops/pallas/render.py ``dot_f32_split`` for the Mosaic one)."""
+    return jnp.einsum(
+        "...nc,dc->...nd", xc, tri, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def _pad_to_chunk(x: jax.Array, t: int, chunk: int) -> jax.Array:
+    """Zero-pad the last axis up to the chunk grid — exact for prefix sums (the
+    padded tail only *receives* sums; the real positions never read it)."""
+    pad = (-t) % chunk
+    if pad:
+        x = jnp.concatenate(
+            [x, jnp.zeros((*x.shape[:-1], pad), x.dtype)], axis=-1
         )
-    chunk = xc.shape[-1]
-    mean = jnp.mean(xc, axis=-1, keepdims=True)
-    delta = xc - mean
-    hi = delta.astype(jnp.bfloat16).astype(jnp.float32)
-    lo = delta - hi
-    within_delta = jnp.einsum(
-        "...nc,dc->...nd", hi, tri, preferred_element_type=jnp.float32
-    ) + jnp.einsum("...nc,dc->...nd", lo, tri, preferred_element_type=jnp.float32)
-    ramp = jnp.arange(1, chunk + 1, dtype=jnp.float32)
-    return mean * ramp + within_delta
+    return x
 
 
 def chunked_cumsum(x: jax.Array, chunk: int = 128) -> jax.Array:
-    """Cumulative sum over the last axis; last axis must be divisible by ``chunk``."""
+    """Cumulative sum over the last axis (any length; zero-padded to the chunk grid)."""
     *lead, t = x.shape
-    if t % chunk != 0 or t <= chunk:
+    if t <= chunk:
         return jnp.cumsum(x, axis=-1)
-    n_chunks = t // chunk
+    x = _pad_to_chunk(x, t, chunk)
+    n_chunks = x.shape[-1] // chunk
     xc = x.reshape(*lead, n_chunks, chunk)
     # within-chunk inclusive prefix sum as x @ upper-tri == tril @ x^T; use dot with
     # the transposed lower-triangular so the contraction hits the MXU
@@ -82,7 +81,7 @@ def chunked_cumsum(x: jax.Array, chunk: int = 128) -> jax.Array:
     # chunk offsets: exclusive cumsum of chunk totals (chunk-rate, tiny)
     totals = within[..., -1]
     offsets = jnp.cumsum(totals, axis=-1) - totals
-    return (within + offsets[..., None]).reshape(*lead, t)
+    return (within + offsets[..., None]).reshape(*lead, n_chunks * chunk)[..., :t]
 
 
 def phase_cumsum(dphi: jax.Array, chunk: int = 128) -> jax.Array:
@@ -96,17 +95,31 @@ def phase_cumsum(dphi: jax.Array, chunk: int = 128) -> jax.Array:
     for use inside periodic functions only."""
     two_pi = 2.0 * jnp.pi
     *lead, t = dphi.shape
-    if t % chunk != 0 or t <= chunk:
+    if t <= chunk:
         within = jnp.cumsum(dphi, axis=-1)
         # single chunk: still wrap the running values' integer-period part
         return jnp.mod(within, two_pi)
-    n_chunks = t // chunk
+    # Zero-pad to the chunk grid so the WRAPPED chunked path always runs: the old
+    # non-divisible fallback (plain cumsum, mod at the end) let the running sum
+    # reach ~1e5 rad unwrapped, where each fp32 add rounds by up to ~0.008 rad —
+    # measured 0.51 rad drift over the reference's 176,400-sample buffer
+    # (176400 % 128 ≠ 0, so the production shape always hit the fallback).
+    dphi = _pad_to_chunk(dphi, t, chunk)
+    n_chunks = dphi.shape[-1] // chunk
     xc = dphi.reshape(*lead, n_chunks, chunk)
     tri = jnp.asarray(_lower_triangular(chunk))
     within = _prefix_within_chunks(xc, tri)
     totals = jnp.mod(within[..., -1], two_pi)
-    offsets = jnp.mod(jnp.cumsum(totals, axis=-1) - totals, two_pi)
-    return (within + offsets[..., None]).reshape(*lead, t)
+    # exclusive prefix of the wrapped chunk totals. For >chunk chunks recurse so the
+    # running sum stays ≤ chunk·2π ≈ 800 rad (fp32 eps 6e-5) instead of growing to
+    # n_chunks·2π ≈ 1e4 rad where each add rounds by ~2.4e-4.
+    inclusive = (
+        phase_cumsum(totals, chunk)
+        if totals.shape[-1] > chunk
+        else jnp.cumsum(totals, axis=-1)
+    )
+    offsets = jnp.mod(inclusive - totals, two_pi)
+    return (within + offsets[..., None]).reshape(*lead, n_chunks * chunk)[..., :t]
 
 
 def linear_upsample(control: jax.Array, n_out: int) -> jax.Array:

@@ -1,7 +1,9 @@
 """Golden regression values for the synth: pins the seed→params→audio contract so any
 accidental semantic change (param table order, curve warps, DSP math, PRNG keying)
 fails loudly. Values recorded from the CPU fp32 jnp path (2026-08-17, after the
-switch to the cross-backend-reproducible exp2 in ops/math_ops.py)."""
+switch to the cross-backend-reproducible exp2 in ops/math_ops.py and the
+pad-to-chunk fix in phase_cumsum — non-divisible buffer lengths now take the
+2π-wrapped chunked path instead of an unwrapped cumsum)."""
 
 import numpy as np
 
@@ -21,14 +23,14 @@ GOLDEN_PARAMS_ROW0_HEAD = [
     0.8668047189712524,
 ]
 GOLDEN_AUDIO_ROW0_22050 = [
-    0.9904483556747437,
-    0.6762011051177979,
-    -0.6895157098770142,
-    -0.26842552423477173,
-    0.45523765683174133,
-    -0.2577044367790222,
+    0.9945648908615112,
+    0.6705565452575684,
+    -0.6919518709182739,
+    -0.2617585062980652,
+    0.45507749915122986,
+    -0.2646327018737793,
 ]
-GOLDEN_RMS = [0.6319794058799744, 0.6535094976425171]
+GOLDEN_RMS = [0.6319276690483093, 0.653509259223938]
 
 
 def test_golden_params():

@@ -18,11 +18,31 @@ def test_chunked_cumsum_matches_cumsum(shape):
     np.testing.assert_allclose(ours, ref, rtol=2e-4, atol=2e-2)
 
 
-def test_chunked_cumsum_odd_length_falls_back():
+def test_chunked_cumsum_odd_length_pads_to_chunk():
+    # non-divisible lengths are zero-padded onto the chunk grid (padding is exact
+    # for prefix sums), not routed to a fallback
     x = jnp.asarray(np.random.RandomState(1).randn(2, 777).astype(np.float32))
     np.testing.assert_allclose(
-        np.asarray(chunked_cumsum(x)), np.asarray(jnp.cumsum(x, axis=-1)), rtol=1e-5
+        np.asarray(chunked_cumsum(x)), np.asarray(jnp.cumsum(x, axis=-1)), rtol=1e-5,
+        atol=1e-5,
     )
+
+
+def test_phase_cumsum_accurate_at_production_length():
+    """176,400 samples (the 4-s buffer) is NOT divisible by the 128 chunk; the old
+    fallback integrated unwrapped phase to ~1e5 rad where fp32 adds round by ~0.008
+    rad each — 0.51 rad accumulated drift, caught on-chip by bench.py's parity gate.
+    The padded chunked path must stay circularly close to the fp64 integral."""
+    from inverse_audio_synthesis_tpu.ops.scan_ops import phase_cumsum
+
+    rng = np.random.RandomState(2)
+    # dphi for a ~2-12 kHz oscillator at 44.1 kHz: ~0.3-1.7 rad per sample
+    dphi = (0.3 + 1.4 * rng.rand(2, 176400)).astype(np.float32)
+    got = np.asarray(phase_cumsum(jnp.asarray(dphi)), dtype=np.float64)
+    exact = np.cumsum(dphi.astype(np.float64), axis=-1)
+    # circular distance (both feed periodic consumers only)
+    delta = np.angle(np.exp(1j * (got - exact)))
+    assert np.abs(delta).max() < 0.02, np.abs(delta).max()
 
 
 @pytest.mark.parametrize("tc,ratio,atol", [(1764, 100, 1e-3), (121, 4, 2e-6), (16, 2, 2e-6)])
