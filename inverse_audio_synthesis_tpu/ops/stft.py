@@ -142,11 +142,17 @@ def _dft_dot(frames: jax.Array, basis: jax.Array, compute_dtype) -> jax.Array:
     THREE bf16 matmuls: split each operand x = hi + lo with hi = bf16(x) — hi·hi
     products are exact in fp32 accumulation (8-bit mantissas), hi·lo and lo·hi
     carry the first-order residuals, and the dropped lo·lo term is ~2^-16
-    relative. This exists because TPU fp32 dots truncate operands to bf16 and
-    ``precision=HIGHEST`` is not honored on this path (measured — see
-    ops/pallas/render.py ``dot_f32_split``), so a "plain fp32" matmul is silently
-    ~4e-3 relative; three bf16 passes are both faster and ~3 decades more
-    accurate than that."""
+    relative. (The operands here really are bf16 *dtype*, so XLA cannot fold the
+    split away — unlike the fp32-valued round-trip cast, which the simplifier
+    removes; see ops/scan_ops.py. ``precision=HIGHEST`` is an equally accurate
+    XLA-side alternative but costs 6 passes instead of 3.)
+
+    For the plain bf16 path the matmul OUTPUT is also written as bf16 (the
+    convert fuses into the dot epilogue): at the MR-STFT resolutions the y
+    tensors are the dominant HBM traffic (~3 GB fp32 per resolution at b128
+    stacked pred/true), and the consumers (magnitude, log, reductions) are a
+    single fused read — halving both sides of that round trip is worth ~2e-3
+    extra relative error on an already ~2e-3-class path."""
     dims = (((frames.ndim - 1,), (0,)), ((), ()))
 
     def dot(a, b):
@@ -158,7 +164,10 @@ def _dft_dot(frames: jax.Array, basis: jax.Array, compute_dtype) -> jax.Array:
         bh = basis.astype(jnp.bfloat16)
         bl = (basis - bh.astype(jnp.float32)).astype(jnp.bfloat16)
         return dot(fh, bh) + dot(fh, bl) + dot(fl, bh)
-    return dot(frames.astype(compute_dtype), basis.astype(compute_dtype))
+    out = dot(frames.astype(compute_dtype), basis.astype(compute_dtype))
+    if compute_dtype == jnp.bfloat16:
+        out = out.astype(jnp.bfloat16)
+    return out
 
 
 def power_spectrogram_matmul(
@@ -204,10 +213,11 @@ def power_spectrogram_matmul(
         xb = jnp.pad(xb, [(0, 0), (0, need - t)])
     frames = _frame_by_reshape(xb, frame_len, hop_length, n_frames)
     y = _dft_dot(frames, basis, compute_dtype)  # [B, n_frames, 2*n_freq]
-    re, im = y[..., :n_freq], y[..., n_freq:]
+    re = y[..., :n_freq].astype(jnp.float32)
+    im = y[..., n_freq:].astype(jnp.float32)
     spec = re * re + im * im  # [B, n_frames, n_freq]
     if mel_fb is not None:
-        spec = _dft_dot(spec, mel_fb, compute_dtype)  # [B, n_frames, n_mels]
+        spec = _dft_dot(spec, mel_fb, compute_dtype).astype(jnp.float32)
     out = jnp.swapaxes(spec, -1, -2)
     return out.reshape(*lead, *out.shape[-2:])
 
@@ -249,7 +259,8 @@ def magnitude_stft_matmul(
         xb = jnp.pad(xb, [(0, 0), (0, need - t)])
     frames = _frame_by_reshape(xb, frame_len, hop_length, n_frames)
     y = _dft_dot(frames, basis, compute_dtype)  # [B, n_frames, 2*n_freq]
-    re, im = y[..., :n_freq], y[..., n_freq:]
+    re = y[..., :n_freq].astype(jnp.float32)
+    im = y[..., n_freq:].astype(jnp.float32)
     mag = jnp.swapaxes(jnp.sqrt(re * re + im * im), -1, -2)
     return mag.reshape(*lead, *mag.shape[-2:])
 
@@ -414,13 +425,24 @@ def multi_resolution_stft_loss(
     # "fft" (exact fp32) | "matmul_bf16" (MXU, ~2e-3, ~6x faster) | "matmul_f32"
     # (MXU split hi/lo, ~1e-6 rel, ~2x matmul_bf16 cost)
     method: str = "fft",
+    batch_chunk: int = 256,
 ) -> jax.Array:
     """auraloss-style MR-STFT loss: mean over resolutions of
     (spectral convergence + log-magnitude L1). resolutions = (n_fft, hop, win).
 
     pred and true are stacked into one [2, ...] batch so each resolution costs ONE
     framing + ONE DFT matmul instead of two — fewer, larger MXU dispatches (part of
-    the measured 90 → ~55 ms downstream-test-step cut)."""
+    the measured 90 → ~55 ms downstream-test-step cut).
+
+    Batches larger than ``batch_chunk`` pairs are processed sequentially with
+    ``lax.map``, accumulating each loss's sufficient statistics — Σ(Mt−Mp)²,
+    ΣMt², Σ|log Mt − log Mp| decompose exactly over batch chunks (spectral
+    convergence is a global Frobenius ratio, reassembled from the totals). The
+    unchunked form materializes the per-resolution DFT output for the whole
+    batch at once: ~25 GB at the reference's downstream ``batch_size: 1024``
+    (conf/audio_to_params/small.yaml:2) — a guaranteed OOM on a 16 GB chip.
+    Chunking is exact up to fp association; zero-padded tail pairs contribute
+    exactly zero to every statistic."""
 
     def mags(x, n_fft, hop, win):
         if method in ("matmul_bf16", "matmul_f32"):
@@ -430,13 +452,61 @@ def multi_resolution_stft_loss(
             )
         return jnp.abs(stft(x, n_fft=n_fft, hop_length=hop, win_length=win))
 
-    both = jnp.stack([pred, true])
+    pred2 = pred.reshape(-1, pred.shape[-1])
+    true2 = true.reshape(-1, true.shape[-1])
+    b = pred2.shape[0]
+
+    def chunk_stats(pair):  # pair: [2, bc, T] → [n_res, 3] partial sums
+        rows = []
+        for n_fft, hop, win in resolutions:
+            m = mags(pair, n_fft, hop, win)
+            mp, mt = m[0], m[1]
+            rows.append(
+                jnp.stack(
+                    [
+                        jnp.sum((mt - mp) ** 2),
+                        jnp.sum(mt**2),
+                        jnp.sum(
+                            jnp.abs(
+                                jnp.log(jnp.maximum(mt, 1e-7))
+                                - jnp.log(jnp.maximum(mp, 1e-7))
+                            )
+                        ),
+                    ]
+                )
+            )
+        return jnp.stack(rows)
+
+    if b <= batch_chunk:
+        stats = chunk_stats(jnp.stack([pred2, true2]))
+    else:
+        n_chunks = -(-b // batch_chunk)
+        pad = n_chunks * batch_chunk - b
+        if pad:
+            zeros = jnp.zeros((pad, pred2.shape[-1]), pred2.dtype)
+            pred2 = jnp.concatenate([pred2, zeros])
+            true2 = jnp.concatenate([true2, zeros])
+        pairs = jnp.stack([pred2, true2]).reshape(
+            2, n_chunks, batch_chunk, pred2.shape[-1]
+        )
+        stats = jnp.sum(jax.lax.map(chunk_stats, jnp.swapaxes(pairs, 0, 1)), axis=0)
+
     total = 0.0
-    for n_fft, hop, win in resolutions:
-        m = mags(both, n_fft, hop, win)
-        mp, mt = m[0], m[1]
-        total = total + spectral_convergence_loss(mp, mt) + log_stft_magnitude_loss(mp, mt)
+    for i, (n_fft, hop, win) in enumerate(resolutions):
+        ssd, sst, sld = stats[i, 0], stats[i, 1], stats[i, 2]
+        # element count of the REAL (unpadded) batch for the log-magnitude mean
+        n_frames = _stft_n_frames(pred.shape[-1], n_fft, hop)
+        n_elems = b * (n_fft // 2 + 1) * n_frames
+        sc = jnp.sqrt(ssd) / (jnp.sqrt(sst) + 1e-8)
+        total = total + sc + sld / n_elems
     return total / len(resolutions)
+
+
+def _stft_n_frames(t: int, n_fft: int, hop: int, center: bool = True) -> int:
+    """Frame count of the STFT paths above (centered: T + 2·(n_fft//2) padded)."""
+    if center:
+        t = t + 2 * (n_fft // 2)
+    return 1 + (t - n_fft) // hop
 
 
 def mel_l1_loss(mel: MelSpectrogram, pred: jax.Array, true: jax.Array) -> jax.Array:

@@ -84,6 +84,19 @@ def test_multi_res_stft_loss_metricity():
     assert zero < near < far
 
 
+def test_multi_res_stft_loss_batch_chunking_exact():
+    """Chunked evaluation (incl. a zero-padded tail chunk) must reproduce the
+    unchunked loss — the sufficient statistics decompose exactly over batch
+    chunks. Guards the memory fix for the reference's downstream batch 1024,
+    whose unchunked DFT intermediate (~25 GB) OOMs a 16 GB chip."""
+    rng = np.random.RandomState(3)
+    a = jnp.asarray(rng.randn(5, 16384).astype(np.float32))
+    b = jnp.asarray(rng.randn(5, 16384).astype(np.float32))
+    whole = float(multi_resolution_stft_loss(b, a, batch_chunk=256))
+    chunked = float(multi_resolution_stft_loss(b, a, batch_chunk=2))  # 3 chunks, 1 padded
+    assert whole == pytest.approx(chunked, rel=1e-5)
+
+
 def test_spectrogram_power():
     x = jnp.asarray(_sine())[None, :]
     p1 = np.asarray(spectrogram(x, power=1.0, n_fft=512, hop_length=256))
