@@ -511,5 +511,8 @@ def _stft_n_frames(t: int, n_fft: int, hop: int, center: bool = True) -> int:
 
 def mel_l1_loss(mel: MelSpectrogram, pred: jax.Array, true: jax.Array) -> jax.Array:
     """Mean |mel(pred) − mel(true)| (the reference's sketched downstream audio loss,
-    audio_to_params.py:150-153)."""
-    return jnp.mean(jnp.abs(mel(pred) - mel(true)))
+    audio_to_params.py:150-153). pred and true are stacked into one batch so the
+    mel costs ONE framing + DFT matmul instead of two (same trick as
+    multi_resolution_stft_loss)."""
+    m = mel(jnp.stack([pred, true]))
+    return jnp.mean(jnp.abs(m[0] - m[1]))
