@@ -172,9 +172,11 @@ def assert_tpu_pallas_parity(cfg) -> None:
         np.sqrt(np.mean((fused - ref) ** 2)) / (np.sqrt(np.mean(ref**2)) + 1e-9)
     )
     assert np.isfinite(fused).all(), "fused render produced non-finite samples on TPU"
-    assert err_max < 0.1 and rel_rms < 0.01, (
+    # measured after the round-3 phase-accuracy fixes: max|Δ|=0.010, rel RMS=5.2e-4
+    # (both paths ~1e-2-accurate vs fp64); limits keep ~5-10x margin over that
+    assert err_max < 0.05 and rel_rms < 0.005, (
         f"TPU Mosaic kernel drifted from the jnp path: max|Δ|={err_max:.4f} "
-        f"(limit 0.1), rel RMS={rel_rms:.5f} (limit 0.01)"
+        f"(limit 0.05), rel RMS={rel_rms:.5f} (limit 0.005)"
     )
     print(
         f"pallas parity gate (TPU, Mosaic): max|Δ|={err_max:.4f} rel_rms={rel_rms:.5f} OK",
