@@ -39,6 +39,39 @@ for obj in embedding param_mse mel_l1; do
     log_every=100 || exit $?
 done
 
+# stage 2b: extended heads to convergence (cosine schedule, no dropout) — the
+# recorded 20k-step runs behind BASELINE.md's round-3 table
+for obj in param_mse embedding; do
+  python downstream.py \
+    audio_to_params.batch_size=128 \
+    audio_to_params.loss=$obj \
+    audio_to_params.limit_train_batches=20000 \
+    audio_to_params.checkpoint_every_nbatches=4000 \
+    audio_to_params.dropout=0.0 \
+    '+audio_to_params.scheduler={name: LinearWarmupCosineAnnealingLR, args: {warmup_epochs: 500, max_epochs: 20000}}' \
+    vicreg.batch_size=128 \
+    vicreg.vision_weights_path=$FIXTURE \
+    vicreg_checkpoint=$RUN/checkpoints/vicreg \
+    run_dir=$RUN/downstream_${obj}_long \
+    log_every=500 || exit $?
+done
+
+# stage 2c: the reference's downstream operating point — batch_size 1024
+# (conf/audio_to_params/small.yaml:2); test metrics over 1024 voices. The test
+# pass needs the batch-chunked MR-STFT (ops/stft.py) to fit a 16 GB chip.
+python downstream.py \
+  audio_to_params.batch_size=1024 \
+  audio_to_params.loss=param_mse \
+  audio_to_params.limit_train_batches=6000 \
+  audio_to_params.checkpoint_every_nbatches=1500 \
+  audio_to_params.dropout=0.0 \
+  '+audio_to_params.scheduler={name: LinearWarmupCosineAnnealingLR, args: {warmup_epochs: 300, max_epochs: 6000}}' \
+  vicreg.batch_size=128 \
+  vicreg.vision_weights_path=$FIXTURE \
+  vicreg_checkpoint=$RUN/checkpoints/vicreg \
+  run_dir=$RUN/downstream_param_mse_b1024 \
+  log_every=300 || exit $?
+
 # stage 3: long retrieval eval (reference streams up to 1M candidates:
 # evaluate_audio_representations.py:202) — 1000 x 1024 candidates, resumable
 python evaluate_audio_representations.py \
