@@ -101,29 +101,39 @@ def app(cfg) -> None:
 
         from inverse_audio_synthesis_tpu.synth.voice import VOICE_PARAM_SPECS
 
-        per_param_rows = []
+        per_param_rows, per_param_base_rows = [], []
         for i in range(split.sizes.test):
             batch_num = split.test_batch_num(i)
             metrics, true_audio, pred_audio = task.test_step(state, batch_num)
             per_param_rows.append(
                 np.asarray(metrics.pop("audio_to_params/test/param_mae_per_param"))
             )
+            per_param_base_rows.append(
+                np.asarray(
+                    metrics.pop("audio_to_params/baseline/param_mae_per_param_const05")
+                )
+            )
             logger.log({k: float(v) for k, v in metrics.items()})
             task.log_audio_triplets(logger, true_audio, pred_audio, batch_idx=i)
         # per-parameter MAE breakdown: which of the 78 params the head actually
-        # learned (identifiable ones should be far below the 0.25 chance floor)
+        # learned (identifiable ones should be far below the chance floor; the
+        # matching per-param constant-0.5 floor is written alongside)
         per_param = np.mean(per_param_rows, axis=0)
+        per_param_base = np.mean(per_param_base_rows, axis=0)
         csv_path = Path(logger.dir) / "param_mae_per_param.csv"
         with open(csv_path, "w") as f:
-            f.write("module,name,mae\n")
-            for spec, mae in zip(VOICE_PARAM_SPECS, per_param):
-                f.write(f"{spec.module},{spec.name},{mae:.6f}\n")
+            f.write("module,name,mae,mae_const05_baseline\n")
+            for spec, mae, base in zip(VOICE_PARAM_SPECS, per_param, per_param_base):
+                f.write(f"{spec.module},{spec.name},{mae:.6f},{base:.6f}\n")
         order = np.argsort(per_param)
+        below = int(np.sum(per_param < per_param_base))
         print(f"per-param MAE written to {csv_path}")
+        print(f"params below their chance floor: {below}/{len(per_param)}")
         print("best-learned params:")
         for j in order[:8]:
             s = VOICE_PARAM_SPECS[j]
-            print(f"  {s.module}.{s.name}: {per_param[j]:.4f}")
+            print(f"  {s.module}.{s.name}: {per_param[j]:.4f} "
+                  f"(chance {per_param_base[j]:.4f})")
     finally:
         # flush logs for ctrl-C (KeyboardInterrupt) and crashes too
         logger.finish()

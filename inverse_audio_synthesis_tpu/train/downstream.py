@@ -253,6 +253,11 @@ class AudioToParamsTask:
             "audio_to_params/test/param_mae_per_param": jnp.mean(
                 jnp.abs(pred_params - params01), axis=0
             ),
+            # matching per-param chance floor (same test voices), so the CSV can
+            # show learned-vs-chance per parameter without a separate pass
+            "audio_to_params/baseline/param_mae_per_param_const05": jnp.mean(
+                jnp.abs(0.5 - params01), axis=0
+            ),
         }
         return metrics, pred_audio
 
