@@ -283,11 +283,31 @@ def fused_render_available(config: SynthConfig) -> bool:
     )
 
 
-def render_voice_auto(params01, config: SynthConfig) -> jax.Array:
-    """Fused Pallas render on TPU when the geometry allows, else the jnp path."""
+def render_fused_with_noise(
+    params01, config: SynthConfig, noise: jax.Array, interpret: bool = False
+) -> jax.Array:
+    """Fused render with a CALLER-PROVIDED noise buffer (inference-only: no custom
+    VJP). Exists for the retrieval evaluator, whose candidate stream keys noise per
+    sub-chunk position (eval/retrieval.py) — the stock fused path generates its own
+    fixed-seed buffer."""
+    from inverse_audio_synthesis_tpu.ops.pallas.render import render_audio_fused
+
+    p, routed, midi_f0 = compute_controls(params01, config)
+    scalars = _fused_scalars(p, midi_f0)
+    return render_audio_fused(
+        routed, scalars, noise, sample_rate=float(config.sample_rate),
+        interpret=interpret,
+    )
+
+
+def render_voice_auto(params01, config: SynthConfig, noise=None) -> jax.Array:
+    """Fused Pallas render on TPU when the geometry allows, else the jnp path.
+    ``noise`` optionally overrides the fixed-seed noise buffer (see render_voice)."""
     if fused_render_available(config) and jax.default_backend() == "tpu":
-        return render_voice_fused(params01, config, False)
-    return render_voice(params01, config)
+        if noise is None:
+            return render_voice_fused(params01, config, False)
+        return render_fused_with_noise(params01, config, noise)
+    return render_voice(params01, config, noise=noise)
 
 
 def sample_voice_params(batch_num, config: SynthConfig) -> jax.Array:

@@ -39,6 +39,25 @@ def test_fused_matches_jnp():
     assert rms < 0.01, rms
 
 
+def test_fused_with_custom_noise_matches_jnp():
+    """render_fused_with_noise (retrieval's candidate-stream path: caller-keyed
+    noise buffer, no custom VJP) must match render_voice with the same noise."""
+    import jax
+
+    from inverse_audio_synthesis_tpu.synth import modules
+    from inverse_audio_synthesis_tpu.synth.voice import render_fused_with_noise
+
+    cfg = SynthConfig(batch_size=4, buffer_size_seconds=1.0)
+    params = sample_voice_params(13, cfg)
+    noise = modules.noise(jax.random.PRNGKey(999), 4, cfg.buffer_size)
+    ref = np.asarray(render_voice(params, cfg, noise=noise))
+    fused = np.asarray(render_fused_with_noise(params, cfg, noise, interpret=True))
+    assert fused.shape == ref.shape
+    assert np.abs(fused - ref).max() < 0.08
+    # and the noise actually matters: default-noise render differs
+    assert np.abs(ref - np.asarray(render_voice(params, cfg))).max() > 1e-3
+
+
 def test_fused_batch_padding():
     cfg = SynthConfig(batch_size=3, buffer_size_seconds=1.0)  # pads 3 → 8
     params = sample_voice_params(7, cfg)
