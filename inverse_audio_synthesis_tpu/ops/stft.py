@@ -426,9 +426,16 @@ def multi_resolution_stft_loss(
     # (MXU split hi/lo, ~1e-6 rel, ~2x matmul_bf16 cost)
     method: str = "fft",
     batch_chunk: int = 256,
-) -> jax.Array:
+    return_silence_baseline: bool = False,
+):
     """auraloss-style MR-STFT loss: mean over resolutions of
     (spectral convergence + log-magnitude L1). resolutions = (n_fft, hop, win).
+
+    ``return_silence_baseline=True`` also returns the loss of the constant-silence
+    predictor against ``true`` — computed ANALYTICALLY from the already-computed
+    true magnitudes (|silence| = 0 exactly, so its spectral convergence is 1 and
+    its log-magnitudes sit at the 1e-7 floor), i.e. the baseline costs zero extra
+    DFT passes instead of a second full multi-resolution sweep.
 
     pred and true are stacked into one [2, ...] batch so each resolution costs ONE
     framing + ONE DFT matmul instead of two — fewer, larger MXU dispatches (part of
@@ -456,22 +463,21 @@ def multi_resolution_stft_loss(
     true2 = true.reshape(-1, true.shape[-1])
     b = pred2.shape[0]
 
-    def chunk_stats(pair):  # pair: [2, bc, T] → [n_res, 3] partial sums
+    def chunk_stats(pair):  # pair: [2, bc, T] → [n_res, 4] partial sums
         rows = []
         for n_fft, hop, win in resolutions:
             m = mags(pair, n_fft, hop, win)
             mp, mt = m[0], m[1]
+            log_mt = jnp.log(jnp.maximum(mt, 1e-7))
             rows.append(
                 jnp.stack(
                     [
                         jnp.sum((mt - mp) ** 2),
                         jnp.sum(mt**2),
-                        jnp.sum(
-                            jnp.abs(
-                                jnp.log(jnp.maximum(mt, 1e-7))
-                                - jnp.log(jnp.maximum(mp, 1e-7))
-                            )
-                        ),
+                        jnp.sum(jnp.abs(log_mt - jnp.log(jnp.maximum(mp, 1e-7)))),
+                        # silence-baseline log-mag stat: |Silence|=0 exactly, so
+                        # log|silence| floors at log(1e-7) — no extra DFT needed
+                        jnp.sum(jnp.abs(log_mt - jnp.log(jnp.float32(1e-7)))),
                     ]
                 )
             )
@@ -492,14 +498,20 @@ def multi_resolution_stft_loss(
         stats = jnp.sum(jax.lax.map(chunk_stats, jnp.swapaxes(pairs, 0, 1)), axis=0)
 
     total = 0.0
+    silence_total = 0.0
     for i, (n_fft, hop, win) in enumerate(resolutions):
-        ssd, sst, sld = stats[i, 0], stats[i, 1], stats[i, 2]
+        ssd, sst, sld, sld0 = stats[i, 0], stats[i, 1], stats[i, 2], stats[i, 3]
         # element count of the REAL (unpadded) batch for the log-magnitude mean
         n_frames = _stft_n_frames(pred.shape[-1], n_fft, hop)
         n_elems = b * (n_fft // 2 + 1) * n_frames
         sc = jnp.sqrt(ssd) / (jnp.sqrt(sst) + 1e-8)
         total = total + sc + sld / n_elems
-    return total / len(resolutions)
+        # silence predictor: ||Mt - 0||/||Mt|| = 1 exactly; log-mag vs the 1e-7 floor
+        silence_total = silence_total + 1.0 + sld0 / n_elems
+    loss = total / len(resolutions)
+    if return_silence_baseline:
+        return loss, silence_total / len(resolutions)
+    return loss
 
 
 def _stft_n_frames(t: int, n_fft: int, hop: int, center: bool = True) -> int:

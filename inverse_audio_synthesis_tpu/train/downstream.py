@@ -223,29 +223,28 @@ class AudioToParamsTask:
     def _test_metrics_impl(self, true_audio, params01, pred_params):
         # resynthesize from predicted params — a pure function call
         pred_audio = self._render(pred_params.astype(jnp.float32))
-        silence = jnp.zeros_like(true_audio)
-        # one stacked mel call for pred / true / silence
-        mels = self.mel(jnp.stack([pred_audio, true_audio, silence]))
+        # one stacked mel call for pred / true
+        mels = self.mel(jnp.stack([pred_audio, true_audio]))
+        mrstft, mrstft_silence = multi_resolution_stft_loss(
+            pred_audio, true_audio, method=self._spectral_method,
+            return_silence_baseline=True,
+        )
         metrics = {
             "audio_to_params/test/mel_l1": jnp.mean(jnp.abs(mels[0] - mels[1])),
-            "audio_to_params/test/mrstft": multi_resolution_stft_loss(
-                pred_audio, true_audio, method=self._spectral_method
-            ),
+            "audio_to_params/test/mrstft": mrstft,
             "audio_to_params/test/param_mae": jnp.mean(
                 jnp.abs(pred_params - params01)
             ),
             # trivial-baseline floors: every headline metric must beat these to mean
             # anything (constant-0.5 params ⇒ expected MAE 0.25 on uniform [0,1];
-            # silence ⇒ the spectral distance of predicting nothing)
+            # silence ⇒ the spectral distance of predicting nothing). Both silence
+            # baselines are analytic functions of the TRUE spectra already computed
+            # (|silence| = 0 exactly), costing no extra DFT passes.
             "audio_to_params/baseline/param_mae_const05": jnp.mean(
                 jnp.abs(0.5 - params01)
             ),
-            "audio_to_params/baseline/mel_l1_silence": jnp.mean(
-                jnp.abs(mels[2] - mels[1])
-            ),
-            "audio_to_params/baseline/mrstft_silence": multi_resolution_stft_loss(
-                silence, true_audio, method=self._spectral_method
-            ),
+            "audio_to_params/baseline/mel_l1_silence": jnp.mean(jnp.abs(mels[1])),
+            "audio_to_params/baseline/mrstft_silence": mrstft_silence,
             # [nparams] vector (not a logged scalar — the CLI writes it as CSV):
             # identifiable params (pitch, gains, envelope times) should sit far
             # below the 0.25 chance floor while structurally unidentifiable ones

@@ -97,6 +97,19 @@ def test_multi_res_stft_loss_batch_chunking_exact():
     assert whole == pytest.approx(chunked, rel=1e-5)
 
 
+def test_multi_res_stft_silence_baseline_analytic():
+    """The analytic silence baseline (|silence|=0 ⇒ sc=1, log-mag at the floor)
+    must equal explicitly scoring a zero signal against true."""
+    rng = np.random.RandomState(4)
+    a = jnp.asarray(rng.randn(2, 16384).astype(np.float32))
+    b = jnp.asarray(rng.randn(2, 16384).astype(np.float32))
+    _, silence_analytic = multi_resolution_stft_loss(
+        b, a, return_silence_baseline=True
+    )
+    silence_explicit = multi_resolution_stft_loss(jnp.zeros_like(a), a)
+    assert float(silence_analytic) == pytest.approx(float(silence_explicit), rel=1e-6)
+
+
 def test_spectrogram_power():
     x = jnp.asarray(_sine())[None, :]
     p1 = np.asarray(spectrogram(x, power=1.0, n_fft=512, hop_length=256))
