@@ -170,6 +170,50 @@ def _dft_dot(frames: jax.Array, basis: jax.Array, compute_dtype) -> jax.Array:
     return out
 
 
+def _framed_dft_matmul(
+    x: jax.Array,
+    n_fft: int,
+    hop_length: int,
+    win_length: int,
+    center: bool,
+    pad_mode: str,
+    compute_dtype,
+):
+    """Shared core of the matmul spectrogram paths: reshape-framing + ONE dense
+    DFT matmul on the MXU. Returns (y [B, n_frames, 2*n_freq], n_freq, lead).
+
+    Works for ARBITRARY hop, and contracts only over the WINDOW SPAN: the
+    windowed basis is zero outside the centered ``win_length`` cols, so the
+    frames start at the window offset and cover ceil(win/hop)·hop samples — at
+    the MR-STFT resolutions (win 600/1024, 1200/2048, 240/512) this roughly
+    HALVES the matmul FLOPs vs contracting over full n_fft frames. Framing is
+    reshape+concat (zero gathers — ``_frame_by_reshape``); any zero-padded
+    basis tail cols just meet real signal (and signal tail zeros meet real
+    window cols), both exact."""
+    n_freq = n_fft // 2 + 1
+    lpad = (n_fft - win_length) // 2  # window offset inside each n_fft frame
+    frame_len = -(-win_length // hop_length) * hop_length  # next hop multiple
+    basis = _windowed_dft_basis(n_fft, win_length)[:, lpad : lpad + win_length]
+    if frame_len > win_length:
+        basis = jnp.pad(basis, [(0, 0), (0, frame_len - win_length)])
+    basis = basis.T  # [frame_len, 2*n_freq]: the frame matmul is frames @ basis
+
+    lead = x.shape[:-1]
+    xb = x.reshape(-1, x.shape[-1])
+    if center:
+        pad = n_fft // 2
+        xb = jnp.pad(xb, [(0, 0), (pad, pad)], mode=pad_mode)
+    t = xb.shape[-1]
+    n_frames = 1 + (t - n_fft) // hop_length  # frame count set by the REAL window
+    xb = xb[:, lpad:]  # frames now start where the window starts
+    need = (n_frames - 1) * hop_length + frame_len
+    if need > t - lpad:
+        xb = jnp.pad(xb, [(0, 0), (0, need - (t - lpad))])
+    frames = _frame_by_reshape(xb, frame_len, hop_length, n_frames)
+    y = _dft_dot(frames, basis, compute_dtype)  # [B, n_frames, 2*n_freq]
+    return y, n_freq, lead
+
+
 def power_spectrogram_matmul(
     x: jax.Array,
     n_fft: int = 1024,
@@ -180,39 +224,16 @@ def power_spectrogram_matmul(
     compute_dtype=jnp.bfloat16,
     mel_fb: Optional[jax.Array] = None,
 ) -> jax.Array:
-    """Power spectrogram as reshape-framing + ONE plain matmul on the MXU.
-
-    Works for ARBITRARY hop: the windowed-DFT basis is zero-padded from n_fft rows
-    to the next hop multiple L, so frames of length L built by reshape+concat (zero
-    gathers — see ``_frame_by_reshape``) multiply against zero rows beyond the real
-    window. The DFT is then a dense [.., L] @ [L, 2*n_freq] dot (bf16 operands,
-    fp32 accumulation), which tiles onto the MXU far better than the equivalent
-    strided conv (measured ~7 ms → ~1 ms at the benchmark shape); the zero-row
-    overhead is ≤ hop/n_fft ≈ 5-8% extra FLOPs at the MR-STFT resolutions — far
-    cheaper than gather framing. If ``mel_fb`` [n_freq, n_mels] is given, the mel
-    projection is fused here and the return is [..., n_mels, n_frames]; otherwise
+    """Power spectrogram via ``_framed_dft_matmul`` (reshape-framing + one dense
+    bf16 MXU matmul — measured ~7 ms → ~1 ms vs the strided conv at the benchmark
+    shape). If ``mel_fb`` [n_freq, n_mels] is given, the mel projection is fused
+    here and the return is [..., n_mels, n_frames]; otherwise
     [..., n_freq, n_frames]."""
     hop_length = hop_length or n_fft // 4
     win_length = win_length or n_fft
-    n_freq = n_fft // 2 + 1
-    frame_len = -(-n_fft // hop_length) * hop_length  # next hop multiple ≥ n_fft
-    basis = _windowed_dft_basis(n_fft, win_length)  # [2*n_freq, n_fft]
-    if frame_len > n_fft:
-        basis = jnp.pad(basis, [(0, 0), (0, frame_len - n_fft)])
-    basis = basis.T  # [frame_len, 2*n_freq]: the frame matmul is frames @ basis
-
-    lead = x.shape[:-1]
-    xb = x.reshape(-1, x.shape[-1])
-    if center:
-        pad = n_fft // 2
-        xb = jnp.pad(xb, [(0, 0), (pad, pad)], mode=pad_mode)
-    t = xb.shape[-1]
-    n_frames = 1 + (t - n_fft) // hop_length  # frame count set by the REAL window
-    need = (n_frames - 1) * hop_length + frame_len
-    if need > t:  # tail zeros only meet zero basis rows
-        xb = jnp.pad(xb, [(0, 0), (0, need - t)])
-    frames = _frame_by_reshape(xb, frame_len, hop_length, n_frames)
-    y = _dft_dot(frames, basis, compute_dtype)  # [B, n_frames, 2*n_freq]
+    y, n_freq, lead = _framed_dft_matmul(
+        x, n_fft, hop_length, win_length, center, pad_mode, compute_dtype
+    )
     re = y[..., :n_freq].astype(jnp.float32)
     im = y[..., n_freq:].astype(jnp.float32)
     spec = re * re + im * im  # [B, n_frames, n_freq]
@@ -231,34 +252,18 @@ def magnitude_stft_matmul(
     pad_mode: str = "reflect",
     compute_dtype=jnp.bfloat16,
 ) -> jax.Array:
-    """STFT magnitude via reshape framing + one bf16 DFT matmul on the MXU, for
-    ARBITRARY hops (basis rows zero-padded to the next hop multiple, so framing is
-    pure reshape/concat — see power_spectrogram_matmul; gather framing was measured
-    ~2x slower at the MR-STFT resolutions, and a gcd-strided-slice framing was tried
+    """STFT magnitude via ``_framed_dft_matmul`` (reshape framing + one bf16 DFT
+    matmul contracting over the window span; gather framing was measured ~2x
+    slower at the MR-STFT resolutions, and a gcd-strided-slice framing was tried
     and reverted: sub-lane-width slice tails pad up to 64x on TPU and OOM).
 
     [..., T] → [..., n_freq, n_frames] (torch layout), ~2e-3 relative accuracy vs
     the fp32 FFT path. TPU FFTs are slow (measured ~36 ms for one b128 4-s signal at
     n_fft 1024 / hop 120 vs ~8 ms here); use this for spectral metrics/losses and
     keep the FFT path where exact parity matters."""
-    n_freq = n_fft // 2 + 1
-    frame_len = -(-n_fft // hop_length) * hop_length
-    basis = _windowed_dft_basis(n_fft, win_length)
-    if frame_len > n_fft:
-        basis = jnp.pad(basis, [(0, 0), (0, frame_len - n_fft)])
-    basis = basis.T  # [frame_len, 2*n_freq]
-    lead = x.shape[:-1]
-    xb = x.reshape(-1, x.shape[-1])
-    if center:
-        pad = n_fft // 2
-        xb = jnp.pad(xb, [(0, 0), (pad, pad)], mode=pad_mode)
-    t = xb.shape[-1]
-    n_frames = 1 + (t - n_fft) // hop_length
-    need = (n_frames - 1) * hop_length + frame_len
-    if need > t:
-        xb = jnp.pad(xb, [(0, 0), (0, need - t)])
-    frames = _frame_by_reshape(xb, frame_len, hop_length, n_frames)
-    y = _dft_dot(frames, basis, compute_dtype)  # [B, n_frames, 2*n_freq]
+    y, n_freq, lead = _framed_dft_matmul(
+        x, n_fft, hop_length, win_length, center, pad_mode, compute_dtype
+    )
     re = y[..., :n_freq].astype(jnp.float32)
     im = y[..., n_freq:].astype(jnp.float32)
     mag = jnp.swapaxes(jnp.sqrt(re * re + im * im), -1, -2)
