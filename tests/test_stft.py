@@ -172,6 +172,26 @@ def test_matmul_spectrogram_matches_fft():
     np.testing.assert_allclose(got4, ref4, atol=1e-2, rtol=1e-3)
 
 
+def test_matmul_spectrogram_short_window_matches_fft():
+    """win_length < n_fft takes the window-span contraction (frames cover only
+    ceil(win/hop)*hop samples at the window offset) — must still equal the
+    full-frame FFT reference exactly in fp32."""
+    from inverse_audio_synthesis_tpu.ops.stft import power_spectrogram_matmul
+
+    x = jnp.asarray(np.random.RandomState(6).randn(2, 22050).astype(np.float32))
+    ref = np.asarray(
+        spectrogram(x, power=2.0, n_fft=1024, hop_length=256, win_length=400)
+    )
+    got = np.asarray(
+        power_spectrogram_matmul(
+            x, n_fft=1024, hop_length=256, win_length=400,
+            compute_dtype=jnp.float32,
+        )
+    )
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=1e-2, rtol=1e-3)
+
+
 def test_magnitude_stft_matmul_matches_fft():
     """The fast MXU magnitude path stays within bf16 tolerance of the exact FFT at
     the MR-STFT resolutions (arbitrary, non-dividing hops)."""
