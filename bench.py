@@ -140,6 +140,52 @@ def bench_downstream(results):
     print(f"downstream test step b128: {best * 1e3:.1f} ms", file=sys.stderr)
 
 
+def bench_retrieval(results):
+    """BASELINE config 4 slice: one candidate-stream step of the NN-retrieval
+    evaluator (1024 candidates rendered + embedded + cdist'd against 16 queries;
+    reference loop: evaluate_audio_representations.py:202-211). Candidates render
+    through the fused Pallas kernel via render_voice_auto."""
+    import jax
+
+    from inverse_audio_synthesis_tpu.eval.retrieval import RetrievalEvaluator
+    from inverse_audio_synthesis_tpu.parallel.mesh import create_mesh
+    from inverse_audio_synthesis_tpu.train.pretrain import (
+        VicregPretrainTask,
+        synth_config_from_cfg,
+    )
+    from inverse_audio_synthesis_tpu.utils.config import load_config
+
+    mesh = create_mesh(devices=jax.devices()[:1])
+    cfg = load_config()
+    task = VicregPretrainTask(cfg, mesh)
+    state = task.init_state()
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    def embed(variables, audio):
+        return task.model.apply(
+            variables, audio, train=False, method=task.model.embed_audio
+        )
+
+    ev = RetrievalEvaluator(
+        embed_fn=embed,
+        variables=variables,
+        query_synth=synth_config_from_cfg(cfg, 16),
+        candidate_synth=synth_config_from_cfg(cfg, 1024),
+        inner_chunk=128,
+    )
+    ev.step(1)  # compile
+    best = float("inf")
+    for trial in range(3):
+        t0 = time.time()
+        for i in range(2):
+            ev.step(2 + 2 * trial + i)
+        float(ev.best_dist[0])  # scalar fetch: hard sync through the tunnel
+        best = min(best, (time.time() - t0) / 2)
+    results["retrieval_step_ms_1024cand"] = round(best * 1e3, 2)
+    results["retrieval_candidates_per_sec"] = round(1024 / best, 1)
+    print(f"retrieval step (1024 cand): {best * 1e3:.1f} ms", file=sys.stderr)
+
+
 def assert_tpu_pallas_parity(cfg) -> None:
     """Pin the REAL Mosaic-compiled kernel's numerics (not just interpret mode):
     fused-vs-jnp parity on the actual device at the full 4-s config, same
@@ -238,7 +284,7 @@ def main() -> None:
     # between the timing trials); a failure still aborts before the JSON prints
     assert_tpu_pallas_parity(cfg)
     if not os.environ.get("BENCH_FAST"):
-        for fn in (bench_vicreg_steps, bench_downstream):
+        for fn in (bench_vicreg_steps, bench_downstream, bench_retrieval):
             try:
                 fn(extra)
             except Exception as e:  # an extra must never sink the headline metric
