@@ -190,6 +190,7 @@ def _framed_dft_matmul(
     reshape+concat (zero gathers — ``_frame_by_reshape``); any zero-padded
     basis tail cols just meet real signal (and signal tail zeros meet real
     window cols), both exact."""
+    assert win_length <= n_fft, (win_length, n_fft)  # torch.stft contract
     n_freq = n_fft // 2 + 1
     lpad = (n_fft - win_length) // 2  # window offset inside each n_fft frame
     frame_len = -(-win_length // hop_length) * hop_length  # next hop multiple
