@@ -87,9 +87,11 @@ def get_timestamp_embeddings(
     n_ts = max(1, -(-t // hop))
     centers = (jnp.arange(n_ts, dtype=jnp.int32) * hop + hop // 2).astype(jnp.int32)
     # window k covers [center_k - w/2, center_k + w/2) in clip coordinates; after
-    # a w/2 left pad its start index is exactly center_k, and a w right pad keeps
-    # every window in bounds (centers < t)
-    padded = jnp.pad(audio, ((0, 0), (w // 2, w)))
+    # a w/2 left pad its start index is exactly center_k, and a w + hop//2 right
+    # pad keeps every window in bounds even when hop > w (max center is
+    # < t + hop//2, so max start + w <= t + hop//2 + w ≤ padded length) — JAX's
+    # clamped gather would otherwise silently return repeated-tail windows
+    padded = jnp.pad(audio, ((0, 0), (w // 2, w + hop // 2)))
     offsets = jnp.arange(w, dtype=jnp.int32)
     # pad the timestamp axis to a chunk multiple: every embed call compiles once
     n_pad = -(-n_ts // chunk) * chunk

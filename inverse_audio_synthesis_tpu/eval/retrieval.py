@@ -98,14 +98,15 @@ class RetrievalEvaluator:
         def body(carry, xs):
             best_dist, best_audio = carry
             sub_params, sub_idx = xs
-            # distinct noise rows per sub-chunk, keyed ONLY by sub-chunk index (NOT
-            # the batch number): every candidate batch sees the same noise rows per
-            # position, like torchsynth's fixed pre-generated noise buffer — so a
-            # params-identical candidate reproduces a query's noise component and
-            # retrieval numbers are comparable across runs, without materializing
-            # the full [1024, 176400] buffer (722 MB) that made chunking necessary
+            # noise rows keyed by GLOBAL row position (sub_idx*k + j) with the same
+            # single-level fold_in the fixed-seed render buffer uses (modules.noise):
+            # every candidate batch sees identical noise per position — torchsynth's
+            # fixed pre-generated noise buffer — so a params-identical candidate at
+            # position j reproduces query row j's noise component exactly, and
+            # retrieval numbers are comparable across runs/chunkings, without
+            # materializing the full [1024, 176400] buffer (722 MB)
             noise = synth_modules.noise(
-                jax.random.fold_in(noise_key, sub_idx), k, self._sub_synth.buffer_size
+                noise_key, k, self._sub_synth.buffer_size, row_offset=sub_idx * k
             )
             audio = render_voice_auto(sub_params, self._sub_synth, noise=noise)
             emb = self.embed_fn(variables, audio[:, None, :])

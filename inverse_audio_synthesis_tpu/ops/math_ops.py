@@ -39,6 +39,15 @@ def exp2_accurate(x: jax.Array) -> jax.Array:
     Range reduction x = n + f with n integer and f in [-0.5, 0.5]; 2^f by a
     degree-6 Horner polynomial (exactly-rounded mul/add only); 2^n by direct
     exponent-field construction (shift + bitcast — exact).
+
+    Implicit compiler contract: cross-backend bit-identity holds only while
+    neither XLA nor Mosaic contracts the Horner ``p * f + c`` into an FMA
+    (contraction changes the rounding sequence). Neither does today — measured
+    on-chip — but nothing in the IR pins it; the tripwire is the on-chip parity
+    gate (``bench.py::assert_tpu_pallas_parity``) plus tests/test_math_ops.py.
+    If a regression ever appears, rebuild the polynomial from explicitly
+    non-fusable primitives (e.g. split each step's product into exact hi/lo
+    parts before the add).
     """
     x = x.astype(jnp.float32)
     n = jnp.floor(x + 0.5)

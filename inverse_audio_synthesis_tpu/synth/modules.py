@@ -186,15 +186,17 @@ def square_saw_vco(params, midi_f0, pitch_mod, sample_rate) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
-def noise(key: jax.Array, batch_size: int, n_samples: int) -> jax.Array:
+def noise(key: jax.Array, batch_size: int, n_samples: int, row_offset=0) -> jax.Array:
     """Fixed white noise in [-1, 1). One key per row (fold_in by row index) so the
-    realization of row i is invariant to batch size."""
+    realization of row i is invariant to batch size. ``row_offset`` (static or
+    traced) shifts the row indices, letting a chunked caller reproduce rows
+    ``offset..offset+batch_size`` of the equivalent un-chunked buffer."""
     def row(i):
         return jax.random.uniform(
             jax.random.fold_in(key, i), (n_samples,), minval=-1.0, maxval=1.0
         )
 
-    return jax.vmap(row)(jnp.arange(batch_size))
+    return jax.vmap(row)(row_offset + jnp.arange(batch_size))
 
 
 def vca(audio: jax.Array, control: jax.Array) -> jax.Array:

@@ -349,7 +349,7 @@ class Voice:
         self._params01 = jnp.full(
             (synthconfig.batch_size, len(VOICE_PARAM_SPECS)), 0.5, dtype=jnp.float32
         )
-        self._frozen = False
+        self._frozen_mask = jnp.zeros((len(VOICE_PARAM_SPECS),), dtype=bool)
         self._render = jax.jit(lambda p: render_voice_auto(p, self.synthconfig))
         self._sample = jax.jit(lambda n: sample_voice_params(n, self.synthconfig))
 
@@ -370,17 +370,28 @@ class Voice:
         self._params01 = params01
 
     def freeze_parameters(self, keys=None) -> None:
-        self._frozen = True
+        """Freeze parameters so subsequent ``voice(batch_num)`` calls keep their
+        currently-set values instead of resampling them. ``keys`` is an iterable of
+        ``(module, name)`` tuples (torchsynth surface — the reference freezes named
+        parameters, audio_to_params.py:240-257); ``None`` freezes all 78. Repeated
+        calls accumulate, like torchsynth's per-parameter ``frozen`` flags."""
+        if keys is None:
+            self._frozen_mask = jnp.ones((len(VOICE_PARAM_SPECS),), dtype=bool)
+        else:
+            idx = jnp.asarray([_INDEX[tuple(k)] for k in keys], dtype=jnp.int32)
+            self._frozen_mask = self._frozen_mask.at[idx].set(True)
 
     def unfreeze_all_parameters(self) -> None:
-        self._frozen = False
+        self._frozen_mask = jnp.zeros((len(VOICE_PARAM_SPECS),), dtype=bool)
 
     # -- synthesis -------------------------------------------------------------
     def __call__(
         self, batch_num: Optional[int]
     ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-        if batch_num is not None and not self._frozen:
-            self._params01 = self._sample(batch_num)
+        if batch_num is not None and not bool(self._frozen_mask.all()):
+            fresh = self._sample(batch_num)
+            # frozen parameters survive the resample (per-key torchsynth semantics)
+            self._params01 = jnp.where(self._frozen_mask[None, :], self._params01, fresh)
             is_train = is_train_split(batch_num, self.synthconfig)
         else:
             is_train = jnp.ones((self.synthconfig.batch_size,), dtype=bool)

@@ -82,15 +82,28 @@ class AudioToParamsTask:
             cfg.audio_to_params.get("scheduler"),
         )
         self._spectral_method = cfg.mel.get("method", "fft")
-        self.mel = MelSpectrogram(
-            sample_rate=cfg.torchsynth.rate,
-            n_fft=cfg.mel.n_fft,
-            hop_length=cfg.mel.hop_length,
-            n_mels=cfg.mel.n_mels,
-            norm=cfg.mel.norm,
-            mel_scale=cfg.mel.mel_scale,
-            power=cfg.mel.power,
-            method=self._spectral_method,
+        # reported test metrics default to the fp32-honest path (~1e-6 vs ~2e-3 for
+        # matmul_bf16) so they are comparable with the reference's fp32
+        # torchaudio/auraloss numbers; the TRAINING mel_l1 loss keeps the fast path
+        self._test_spectral_method = cfg.mel.get("test_method", self._spectral_method)
+
+        def _make_mel(method):
+            return MelSpectrogram(
+                sample_rate=cfg.torchsynth.rate,
+                n_fft=cfg.mel.n_fft,
+                hop_length=cfg.mel.hop_length,
+                n_mels=cfg.mel.n_mels,
+                norm=cfg.mel.norm,
+                mel_scale=cfg.mel.mel_scale,
+                power=cfg.mel.power,
+                method=method,
+            )
+
+        self.mel = _make_mel(self._spectral_method)
+        self.mel_test = (
+            self.mel
+            if self._test_spectral_method == self._spectral_method
+            else _make_mel(self._test_spectral_method)
         )
         self._render = make_render_fn(self.synth, mesh)
         self._dropout_base = jax.random.PRNGKey(cfg.seed + 2)
@@ -223,10 +236,10 @@ class AudioToParamsTask:
     def _test_metrics_impl(self, true_audio, params01, pred_params):
         # resynthesize from predicted params — a pure function call
         pred_audio = self._render(pred_params.astype(jnp.float32))
-        # one stacked mel call for pred / true
-        mels = self.mel(jnp.stack([pred_audio, true_audio]))
+        # one stacked mel call for pred / true; fp32-honest test path (see __init__)
+        mels = self.mel_test(jnp.stack([pred_audio, true_audio]))
         mrstft, mrstft_silence = multi_resolution_stft_loss(
-            pred_audio, true_audio, method=self._spectral_method,
+            pred_audio, true_audio, method=self._test_spectral_method,
             return_silence_baseline=True,
         )
         metrics = {
@@ -276,15 +289,24 @@ class AudioToParamsTask:
         if self._test_fused_ok is not False:
             try:
                 out = self._test_full(state, batch_num, self.frozen)
+                if not self._test_fused_ok:
+                    # materialize before declaring the fused program viable: an
+                    # async execution-time error on the first batch must land HERE
+                    # (where the fallback can catch it), not escape as a poisoned
+                    # future after _test_fused_ok is already True
+                    jax.block_until_ready(out)
                 self._test_fused_ok = True
                 return out
-            except Exception as e:
-                if self._test_fused_ok:  # fused path worked before: a real error
+            except (jax.errors.JaxRuntimeError, RuntimeError, ValueError) as e:
+                # only first-call compile/HLO-size/OOM failures downgrade to the
+                # two-program split; anything after a successful fused call is a
+                # real error and must surface
+                if self._test_fused_ok:
                     raise
                 import logging
 
                 logging.getLogger(__name__).info(
-                    "fused test program failed to compile (%r); using the "
+                    "fused test program failed on first call (%r); using the "
                     "two-program split",
                     e,
                 )

@@ -67,13 +67,21 @@ def app(cfg) -> None:
         val_check_interval=cfg.vicreg.get("val_check_interval"),
         log_every=cfg.get("log_every", 50),
     )
-    # PQMF filter-range diagnostic on a real clip when available (working version of
-    # the reference's dead plot_filter_range, pretrain.py:29-48)
-    daddy = Path("/root/reference/daddy.wav")
-    if daddy.exists():
+    # PQMF filter-range diagnostic on a real clip (working version of the
+    # reference's dead plot_filter_range, pretrain.py:29-48). The clip is vendored
+    # in-repo (tools/make_test_clip.py renders it from the synth's own data
+    # distribution); the reference checkout's daddy.wav is only a fallback.
+    import inverse_audio_synthesis_tpu
+
+    clip_path = (
+        Path(inverse_audio_synthesis_tpu.__file__).parent / "assets" / "test_clip.wav"
+    )
+    if not clip_path.exists():
+        clip_path = Path("/root/reference/daddy.wav")
+    if clip_path.exists():
         from inverse_audio_synthesis_tpu.utils.audio_io import read_wav
 
-        clip, _ = read_wav(daddy)
+        clip, _ = read_wav(clip_path)
         logger.log(filter_range_stats(clip.mean(axis=1)[:176400]))
 
     start = checkpoint.latest_step()

@@ -195,6 +195,31 @@ def test_voice_call_surface():
     np.testing.assert_array_equal(np.asarray(audio3), np.asarray(resynth))
 
 
+def test_freeze_parameters_subset():
+    """Per-key freeze (torchsynth surface): frozen params survive a resampling
+    ``voice(batch_num)`` call; all others are freshly drawn."""
+    voice = Voice(CFG)
+    _, params, _ = voice(7)
+    frozen_keys = list(voice.get_parameters().keys())[:5]
+    frozen_idx = [i for i, k in enumerate(voice.get_parameters().keys()) if k in frozen_keys]
+    voice.freeze_parameters(frozen_keys)
+    _, params2, _ = voice(8)
+    p1, p2 = np.asarray(params), np.asarray(params2)
+    np.testing.assert_array_equal(p1[:, frozen_idx], p2[:, frozen_idx])
+    free_idx = [i for i in range(p1.shape[1]) if i not in frozen_idx]
+    assert not np.array_equal(p1[:, free_idx], p2[:, free_idx])
+    # repeated calls accumulate frozen keys
+    more = list(voice.get_parameters().keys())[5:8]
+    voice.freeze_parameters(more)
+    _, params3, _ = voice(9)
+    np.testing.assert_array_equal(
+        np.asarray(params3)[:, :8], p2[:, :8]
+    )
+    voice.unfreeze_all_parameters()
+    _, params4, _ = voice(10)
+    assert not np.array_equal(np.asarray(params4)[:, :5], p1[:, :5])
+
+
 def test_is_train_split():
     """synth1B1 rule: every 10th BATCH is test; the flag is batch-level."""
     cfg = SynthConfig(batch_size=20)
