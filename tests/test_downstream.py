@@ -47,6 +47,32 @@ def test_downstream_train_and_test(pretrain):
     assert np.isfinite(np.asarray(pred_audio)).all()
 
 
+def test_downstream_combined_loss(pretrain):
+    """'combined' objective: loss == Σ wᵢ·componentᵢ, components logged per step."""
+    _, mesh, pre_task, pre_state = pretrain
+    cfg = tiny_cfg(
+        **{
+            "audio_to_params.batch_size": 8,
+            "audio_to_params.loss": "combined",
+            "audio_to_params.loss_weights.param_mse": 1.0,
+            "audio_to_params.loss_weights.mel_l1": 0.25,
+            # also exercises the row-subset mel term (see small.yaml mel_rows)
+            "audio_to_params.mel_rows": 4,
+        }
+    )
+    task = AudioToParamsTask(cfg, mesh, pre_task, pre_state)
+    state = task.init_state()
+    state, metrics = task.train_step(state, 11)
+    loss = float(metrics["audio_to_params/train/loss"])
+    pm = float(metrics["audio_to_params/train/param_mse"])
+    ml = float(metrics["audio_to_params/train/mel_l1"])
+    assert np.isfinite(loss) and np.isfinite(pm) and np.isfinite(ml)
+    np.testing.assert_allclose(loss, pm + 0.25 * ml, rtol=1e-5)
+    # a second step still trains (state advances, loss stays finite)
+    state, metrics2 = task.train_step(state, 12)
+    assert np.isfinite(float(metrics2["audio_to_params/train/loss"]))
+
+
 def test_frozen_towers_not_updated(pretrain):
     cfg, mesh, pre_task, pre_state = pretrain
     task = AudioToParamsTask(cfg, mesh, pre_task, pre_state)
