@@ -32,7 +32,12 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from inverse_audio_synthesis_tpu.ops.math_ops import exp2_accurate
+from inverse_audio_synthesis_tpu.ops.math_ops import (
+    cos_fast,
+    exp2_accurate,
+    sincos_fast,
+    tanh_fast,
+)
 
 BATCH_TILE = 32  # best measured at batch 128 (8: 8.1ms, 16: 7.1ms, 32: 6.7ms); 64 exceeds VMEM
 
@@ -142,16 +147,21 @@ def _kernel(
     def col(i):
         return scal_ref[:, i][:, None, None]
 
-    # accumulate sources one at a time to minimize live VMEM intermediates
+    # accumulate sources one at a time to minimize live VMEM intermediates.
+    # Oscillator trig/tanh use the math_ops polynomial versions: bit-identical
+    # across XLA and Mosaic (the builtins are different approximations per
+    # backend) and one shared quadrant reduction feeds VCO 2's sin+cos pair.
+    # Phase is 2π-wrapped per segment (≤ ~185 rad), inside their ±4096 domain.
     # VCO 1: sine
     phase1 = integrate_phase(upsampled(0), col(0), col(1), 0) + col(2)
-    mix = col(8) * jnp.cos(phase1) * jnp.maximum(upsampled(1), 0.0)
+    mix = col(8) * cos_fast(phase1) * jnp.maximum(upsampled(1), 0.0)
     # VCO 2: square↔saw morph
     phase2 = integrate_phase(upsampled(2), col(3), col(4), 1) + col(5)
     shape = col(6)
     partials = col(7)
-    square = jnp.tanh(jnp.pi * partials * jnp.sin(phase2) / 2.0)
-    osc2 = (1.0 - shape / 2.0) * square * (1.0 + shape * jnp.cos(phase2))
+    sin2, cos2 = sincos_fast(phase2)
+    square = tanh_fast(jnp.pi * partials * sin2 / 2.0)
+    osc2 = (1.0 - shape / 2.0) * square * (1.0 + shape * cos2)
     mix = mix + col(9) * osc2 * jnp.maximum(upsampled(3), 0.0)
     # noise
     mix = mix + col(10) * noise_ref[:, :, :] * jnp.maximum(upsampled(4), 0.0)

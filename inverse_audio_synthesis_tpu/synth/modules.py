@@ -17,7 +17,12 @@ from typing import Dict, Tuple
 import jax
 import jax.numpy as jnp
 
-from inverse_audio_synthesis_tpu.ops.math_ops import exp2_accurate
+from inverse_audio_synthesis_tpu.ops.math_ops import (
+    cos_fast,
+    exp2_accurate,
+    sincos_fast,
+    tanh_fast,
+)
 from inverse_audio_synthesis_tpu.ops.scan_ops import linear_upsample, phase_cumsum
 
 _EPS = 1e-9
@@ -156,7 +161,10 @@ def sine_vco(params, midi_f0, pitch_mod, sample_rate) -> jax.Array:
         midi_f0, params["tuning"], params["mod_depth"], params["initial_phase"],
         pitch_mod, sample_rate,
     )
-    return jnp.cos(arg)
+    # math_ops polynomial cos: bit-identical to the fused Pallas kernel's
+    # oscillator (the XLA and Mosaic builtin lowerings differ); arg is the
+    # 2π-wrapped chunked prefix (≤ ~235 rad), inside cos_fast's ±4096 domain
+    return cos_fast(arg)
 
 
 def squaresaw_partials(midi_f0, tuning, mod_depth) -> jax.Array:
@@ -177,8 +185,9 @@ def square_saw_vco(params, midi_f0, pitch_mod, sample_rate) -> jax.Array:
     )
     partials = squaresaw_partials(midi_f0, params["tuning"], params["mod_depth"])
     shape = params["shape"][:, None]
-    square = jnp.tanh(jnp.pi * partials[:, None] * jnp.sin(arg) / 2.0)
-    return (1.0 - shape / 2.0) * square * (1.0 + shape * jnp.cos(arg))
+    sin_a, cos_a = sincos_fast(arg)  # shared reduction; matches the Pallas kernel
+    square = tanh_fast(jnp.pi * partials[:, None] * sin_a / 2.0)
+    return (1.0 - shape / 2.0) * square * (1.0 + shape * cos_a)
 
 
 # ---------------------------------------------------------------------------
