@@ -38,6 +38,7 @@ class AudioEmbedding(nn.Module):
     n_bands: int = 3
     image_size: Tuple[int, int] = (240, 245)
     dtype: Any = jnp.float32
+    bn_dtype: Any = jnp.float32
 
     def _preprocess(self, audio: jax.Array) -> jax.Array:
         """[B, 1, T] → NHWC normalized pseudo-image [B, H, W, 3].
@@ -59,7 +60,9 @@ class AudioEmbedding(nn.Module):
     @nn.compact
     def __call__(self, audio: jax.Array, train: bool = False) -> jax.Array:
         assert audio.ndim == 3 and audio.shape[1] == 1
-        vision = MobileNetV3Small(dtype=self.dtype, name="vision_model")
+        vision = MobileNetV3Small(
+            dtype=self.dtype, bn_dtype=self.bn_dtype, name="vision_model"
+        )
         t = vision(self._preprocess(audio), train=train)  # [B, h, w, 576]
         # Stacked VALID convs collapsing the spatial map to 1×1 with no activations
         # between, like the reference's conv7..conv1 (audioembed.py:15-33,61-68).

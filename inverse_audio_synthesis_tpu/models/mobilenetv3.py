@@ -60,6 +60,12 @@ class ConvBNAct(nn.Module):
     groups: int = 1
     act: Any = hard_swish
     dtype: Any = jnp.float32
+    # BatchNorm compute dtype. flax computes the batch statistics in fp32
+    # regardless (and the scale/bias/running stats stay fp32 params), so bf16
+    # here only changes the normalized OUTPUT (and the residuals XLA saves for
+    # the backward) — halving the BN/activation HBM traffic under mixed
+    # precision. fp32 default preserves the numerics the campaigns trained with.
+    bn_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -78,7 +84,7 @@ class ConvBNAct(nn.Module):
             use_running_average=not train,
             momentum=0.99,
             epsilon=1e-3,
-            dtype=jnp.float32,
+            dtype=self.bn_dtype,
             name="bn",
         )(x)
         return self.act(x) if self.act is not None else x
@@ -105,6 +111,7 @@ class InvertedResidual(nn.Module):
     use_hs: bool
     stride: int
     dtype: Any = jnp.float32
+    bn_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -114,7 +121,8 @@ class InvertedResidual(nn.Module):
         idx = 0
         if self.exp_channels != in_channels:
             y = ConvBNAct(
-                self.exp_channels, 1, act=act, dtype=self.dtype, name=f"block_{idx}"
+                self.exp_channels, 1, act=act, dtype=self.dtype,
+                bn_dtype=self.bn_dtype, name=f"block_{idx}"
             )(y, train)
             idx += 1
         y = ConvBNAct(
@@ -124,6 +132,7 @@ class InvertedResidual(nn.Module):
             groups=self.exp_channels,
             act=act,
             dtype=self.dtype,
+            bn_dtype=self.bn_dtype,
             name=f"block_{idx}",
         )(y, train)
         idx += 1
@@ -133,7 +142,8 @@ class InvertedResidual(nn.Module):
             )(y)
             idx += 1
         y = ConvBNAct(
-            self.out_channels, 1, act=None, dtype=self.dtype, name=f"block_{idx}"
+            self.out_channels, 1, act=None, dtype=self.dtype,
+            bn_dtype=self.bn_dtype, name=f"block_{idx}"
         )(y, train)
         if self.stride == 1 and in_channels == self.out_channels:
             y = y + x
@@ -144,15 +154,17 @@ class MobileNetV3Small(nn.Module):
     """``features`` trunk only: NHWC [B, H, W, 3] → [B, H/32, W/32, 576]."""
 
     dtype: Any = jnp.float32
+    bn_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = ConvBNAct(16, 3, stride=2, act=hard_swish, dtype=self.dtype, name="stem")(
-            x, train
-        )
+        x = ConvBNAct(16, 3, stride=2, act=hard_swish, dtype=self.dtype,
+                      bn_dtype=self.bn_dtype, name="stem")(x, train)
         for i, (k, exp, out, se, hs, s) in enumerate(SMALL_CONFIG):
             x = InvertedResidual(
-                k, exp, out, se, hs, s, dtype=self.dtype, name=f"bneck_{i}"
+                k, exp, out, se, hs, s, dtype=self.dtype,
+                bn_dtype=self.bn_dtype, name=f"bneck_{i}"
             )(x, train)
-        x = ConvBNAct(576, 1, act=hard_swish, dtype=self.dtype, name="head")(x, train)
+        x = ConvBNAct(576, 1, act=hard_swish, dtype=self.dtype,
+                      bn_dtype=self.bn_dtype, name="head")(x, train)
         return x

@@ -33,6 +33,8 @@ class Projector(nn.Module):
 
     dims: Sequence[int]  # full layer widths, e.g. (1024, 8192, 8192, 8192)
     dtype: Any = jnp.float32
+    # BN compute dtype (stats are fp32 either way — see mobilenetv3.ConvBNAct)
+    bn_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -43,7 +45,7 @@ class Projector(nn.Module):
                 use_running_average=not train,
                 momentum=0.9,
                 epsilon=1e-5,
-                dtype=jnp.float32,
+                dtype=self.bn_dtype,
                 name=f"bn{i}",
             )(x)
             x = nn.relu(x)
@@ -57,9 +59,13 @@ class VICRegModule(nn.Module):
     backbone_param: nn.Module
     projector_dims: Sequence[int]
     dtype: Any = jnp.float32
+    bn_dtype: Any = jnp.float32
 
     def setup(self):
-        self.projector = Projector(self.projector_dims, dtype=self.dtype, name="projector")
+        self.projector = Projector(
+            self.projector_dims, dtype=self.dtype, bn_dtype=self.bn_dtype,
+            name="projector",
+        )
 
     def __call__(self, audio, params, train: bool = False):
         x = self.projector(self.backbone_audio(audio, train=train), train=train)

@@ -103,11 +103,16 @@ def synth_config_from_cfg(cfg, batch_size: int) -> SynthConfig:
 
 def build_vicreg_model(cfg) -> VICRegModule:
     dtype = jnp.bfloat16 if cfg.get("precision") == "bf16" else jnp.float32
+    # bn_bf16 additionally runs BatchNorm's normalized OUTPUT in bf16 (batch
+    # statistics stay fp32 inside flax) — halves the BN/activation HBM traffic
+    # of the MobileNet trunk under mixed precision
+    bn_dtype = dtype if cfg.get("bn_bf16", False) else jnp.float32
     return VICRegModule(
         backbone_audio=AudioEmbedding(
             dim=cfg.dim,
             image_size=(cfg.image.height, cfg.image.width),
             dtype=dtype,
+            bn_dtype=bn_dtype,
         ),
         backbone_param=ParamEmbed(
             nparams=cfg.nparams,
@@ -118,6 +123,7 @@ def build_vicreg_model(cfg) -> VICRegModule:
         ),
         projector_dims=parse_projector_spec(cfg.vicreg.mlp, cfg.dim, cfg.embeddim),
         dtype=dtype,
+        bn_dtype=bn_dtype,
     )
 
 

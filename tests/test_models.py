@@ -130,3 +130,44 @@ def test_vicreg_module_end_to_end_tiny():
     assert x.shape == (2, 48) and y.shape == (2, 48)
     loss, *_ = vicreg_loss(x, y)
     assert np.isfinite(float(loss))
+
+
+def test_bn_bf16_knob_same_params_finite_close():
+    """bn_bf16 changes only BatchNorm's COMPUTE dtype: the param/batch-stats
+    pytree is identical (checkpoints stay compatible) and outputs stay finite.
+    At random init the trunk's fp32-vs-bf16-BN outputs drift ~14% relative
+    (depth-compounded rounding through hard_swish/SE) — the loose bound here is
+    a catastrophe detector; convergence equivalence is an on-chip A/B question,
+    which is why conf/config.yaml defaults bn_bf16 off."""
+    import jax.tree_util as jtu
+
+    x = jax.random.uniform(
+        jax.random.PRNGKey(3), (4, 64, 64, 3), minval=-2.0, maxval=2.0
+    )
+    m32 = MobileNetV3Small(dtype=jnp.bfloat16, bn_dtype=jnp.float32)
+    m16 = MobileNetV3Small(dtype=jnp.bfloat16, bn_dtype=jnp.bfloat16)
+    v = m32.init(jax.random.PRNGKey(0), x, train=False)
+    assert jtu.tree_structure(v) == jtu.tree_structure(
+        m16.init(jax.random.PRNGKey(0), x, train=False)
+    )
+    a, _ = m32.apply(v, x, train=True, mutable=["batch_stats"])
+    b, _ = m16.apply(v, x, train=True, mutable=["batch_stats"])
+    a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+    assert np.isfinite(b).all()
+    assert np.abs(a - b).max() / (np.abs(a).max() + 1e-6) < 0.5
+
+    # The projector's BN feeds ReLU -> Dense, which casts to bf16 anyway, so
+    # bf16 BN output is EXACTLY the fp32 path (rounding commutes with ReLU).
+    from inverse_audio_synthesis_tpu.models.vicreg import Projector
+
+    y = jax.random.normal(jax.random.PRNGKey(5), (8, 32))
+    vp = Projector((32, 64, 48), dtype=jnp.bfloat16).init(
+        jax.random.PRNGKey(1), y, train=False
+    )
+    outs = [
+        Projector((32, 64, 48), dtype=jnp.bfloat16, bn_dtype=d).apply(
+            vp, y, train=True, mutable=["batch_stats"]
+        )[0]
+        for d in (jnp.float32, jnp.bfloat16)
+    ]
+    np.testing.assert_array_equal(np.asarray(outs[0]), np.asarray(outs[1]))
