@@ -20,6 +20,7 @@ def pretrain(tiny_task):
     return cfg, tiny_task.mesh, tiny_task, state
 
 
+@pytest.mark.slow
 def test_downstream_train_and_test(pretrain):
     cfg, mesh, pre_task, pre_state = pretrain
     task = AudioToParamsTask(cfg, mesh, pre_task, pre_state)
@@ -96,6 +97,7 @@ def test_cdist_matches_torch():
     np.testing.assert_allclose(ours, theirs, atol=1e-4, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_retrieval_monotone(pretrain):
     cfg, mesh, pre_task, pre_state = pretrain
 
@@ -116,6 +118,7 @@ def test_retrieval_monotone(pretrain):
     assert result["best_audio"].shape == (4, ev.candidate_synth.buffer_size)
 
 
+@pytest.mark.slow
 def test_retrieval_inner_chunking_and_artifacts(pretrain, tmp_path):
     """The 1024-candidate reference config compiles via an inner lax.scan over
     sub-chunks; convergence artifacts (CSV + PNG) are written from the history."""
@@ -146,6 +149,7 @@ def test_retrieval_inner_chunking_and_artifacts(pretrain, tmp_path):
     assert (tmp_path / "convergence.png").exists()
 
 
+@pytest.mark.slow
 def test_retrieval_resume_bit_identical(pretrain, tmp_path):
     """A run interrupted after k batches and resumed from state.npz must produce the
     same best-distances and history as one uninterrupted run (the candidate stream
@@ -189,6 +193,7 @@ def test_retrieval_resume_bit_identical(pretrain, tmp_path):
     assert fresh["history"].shape[0] == 5  # from scratch, not 2 resumed + 3
 
 
+@pytest.mark.slow
 def test_mel_l1_backprop_through_synth(pretrain):
     """The working version of the reference's commented-out 'backprop through the
     synth' experiment (audio_to_params.py:56-174)."""

@@ -1,5 +1,6 @@
 """Trainer loop integration: fit with logging, val cadence, checkpoint save/resume."""
 
+import pytest
 import json
 
 import numpy as np
@@ -98,6 +99,7 @@ def test_fit_preemption_saves_checkpoint_and_stops(tmp_path):
     assert signal.getsignal(signal.SIGTERM) == signal.SIG_DFL
 
 
+@pytest.mark.slow
 def test_fit_end_to_end(tmp_path, tiny_task):
     task = tiny_task
     state = task.init_state()

@@ -24,6 +24,7 @@ def test_projector_spec():
     assert parse_projector_spec("256-256-%d", 64, 128) == (64, 256, 256, 128)
 
 
+@pytest.mark.slow
 def test_mobilenet_geometry():
     model = MobileNetV3Small()
     x = jnp.zeros((2, 240, 245, 3))
@@ -132,6 +133,7 @@ def test_vicreg_module_end_to_end_tiny():
     assert np.isfinite(float(loss))
 
 
+@pytest.mark.slow
 def test_bn_bf16_knob_same_params_finite_close():
     """bn_bf16 changes only BatchNorm's COMPUTE dtype: the param/batch-stats
     pytree is identical (checkpoints stay compatible) and outputs stay finite.

@@ -1,5 +1,6 @@
 """Fused Pallas render kernel vs the jnp path (interpret mode on CPU)."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -67,6 +68,7 @@ def test_fused_batch_padding():
     assert np.abs(fused - ref).max() < 0.08
 
 
+@pytest.mark.slow
 def test_fused_shard_map_data8_matches_jnp():
     """Under a data=8 mesh the fused render runs one kernel instance per shard via
     shard_map; noise rows are keyed by GLOBAL row index so shards must not repeat
@@ -92,6 +94,7 @@ def test_fused_shard_map_data8_matches_jnp():
     np.testing.assert_allclose(fused_sharded, fused_single, atol=0.02)
 
 
+@pytest.mark.slow
 def test_fused_shard_map_grad_finite():
     """jax.grad flows through the shard_mapped fused render (custom VJP = jnp path)."""
     from inverse_audio_synthesis_tpu.parallel.mesh import create_mesh
@@ -108,6 +111,7 @@ def test_fused_shard_map_grad_finite():
     np.testing.assert_allclose(g, np.asarray(vjp_jnp(cot)[0]), rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_fused_grad_uses_jnp_vjp():
     """The fused kernel's backward IS the jnp path's VJP: with an identical cotangent
     both must produce identical gradients. (Comparing jax.grad of the two losses is

@@ -63,6 +63,7 @@ def test_bf16_tower_drift_bounded():
     assert np.abs(a - b).mean() / denom < 2e-2, np.abs(a - b).mean() / denom
 
 
+@pytest.mark.slow
 def test_mobilenetv3_golden_forward():
     """Committed golden activations (fixed-seed init, fixed input, CPU fp32,
     2026-08-16): a BN-epsilon, padding, or activation slip in the trunk fails this
@@ -92,6 +93,7 @@ def test_mobilenetv3_golden_forward():
     np.testing.assert_allclose(out / scale, blob["out"] / scale, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_bf16_train_step():
     cfg = tiny_cfg(precision="bf16")
     mesh = create_mesh(data=8, model=1)

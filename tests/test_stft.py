@@ -192,6 +192,7 @@ def test_matmul_spectrogram_short_window_matches_fft():
     np.testing.assert_allclose(got, ref, atol=1e-2, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_magnitude_stft_matmul_matches_fft():
     """The fast MXU magnitude path stays within bf16 tolerance of the exact FFT at
     the MR-STFT resolutions (arbitrary, non-dividing hops)."""

@@ -232,6 +232,7 @@ def test_is_train_split():
     assert frac == 0.9
 
 
+@pytest.mark.slow
 def test_render_jit_and_grad():
     p = sample_voice_params(3, CFG)
     f = jax.jit(lambda q: render_voice(q, CFG))

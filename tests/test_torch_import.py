@@ -1,6 +1,7 @@
 """Weight importer: build a synthetic torchvision-style state_dict with the exact
 key/shape layout and check it lands in the Flax tree with matching shapes."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -166,6 +167,7 @@ def test_vision_weights_load_through_config_path(tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_committed_vision_fixture_loads_exactly():
     """The COMMITTED synthetic "pretrained" trunk fixture (tests/golden/
     vision_trunk_fixture.pkl, regenerable via tools/make_vision_fixture.py)

@@ -80,6 +80,7 @@ def task(tiny_task):
     return tiny_task
 
 
+@pytest.mark.slow
 def test_train_step_on_8device_mesh(task):
     # NB: train_step donates its input state (in-place buffer reuse on TPU) — treat
     # state as linear: snapshot anything needed BEFORE stepping.
@@ -94,6 +95,7 @@ def test_train_step_on_8device_mesh(task):
     assert max(jax.tree_util.tree_leaves(delta)) > 0
 
 
+@pytest.mark.slow
 def test_loss_decreases_and_val_step(task):
     state = task.init_state()
     first = None
@@ -107,6 +109,7 @@ def test_loss_decreases_and_val_step(task):
     assert np.isfinite(float(m["vicreg/validation/loss"]))
 
 
+@pytest.mark.slow
 def test_tensor_parallel_mesh():
     cfg = tiny_cfg()
     mesh = create_mesh(data=4, model=2)
@@ -120,6 +123,7 @@ def test_tensor_parallel_mesh():
     assert np.isfinite(float(metrics["vicreg/train/loss"]))
 
 
+@pytest.mark.slow
 def test_checkpoint_roundtrip(tmp_path, task):
     from inverse_audio_synthesis_tpu.train.checkpoint import CheckpointManager
 
@@ -154,6 +158,7 @@ def test_checkpoint_ignores_inflight_tmp_dirs(tmp_path, task):
     assert (tmp_path / "ckpt" / "step_000000000500.orbax-checkpoint-tmp").exists()
 
 
+@pytest.mark.slow
 def test_checkpoint_async_save_survives_buffer_donation(tmp_path, task):
     """Cadence saves are async (SURVEY §5.4): orbax blocks only for the D2H copy, so
     continuing to train — which DONATES the saved buffers into the next step — must
@@ -172,6 +177,7 @@ def test_checkpoint_async_save_survives_buffer_donation(tmp_path, task):
         np.testing.assert_array_equal(a, np.asarray(b))
 
 
+@pytest.mark.slow
 def test_train_determinism(task):
     """Same seed + same batch stream ⇒ identical loss sequence (the reference's
     seed_everything/deterministic=True contract)."""
