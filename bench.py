@@ -28,7 +28,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 CPU_BASELINE_VOICES_PER_SEC = 15.98
 BATCH_SIZE = 128
-ITERS_PER_TRIAL = 10
+ITERS_PER_TRIAL = 25  # ≥20 per fetch: amortize the tunnel's ~26 ms fetch RTT (docs/tpu.md)
 TRIALS = 5
 BACKEND_ATTEMPTS = 4
 BACKEND_BACKOFF_S = (30, 60, 90)  # sleep before attempt 2, 3, 4
@@ -134,7 +134,11 @@ def bench_vicreg_steps(results):
         state, m = task.train_step(state, 0)  # compile
         float(m["vicreg/train/loss"])  # scalar fetch: the tunneled device's block_until_ready is not a reliable sync
         counter = itertools.count(1)
-        iters = 20 if bs <= 16 else 5
+        # ≥20 iters per scalar fetch: the tunnel's host fetch costs a ~26 ms RTT,
+        # so N iters per fetch inflates every step reading by ~26/N ms (at 5 iters
+        # that's +5 ms on a ~28 ms step — round-3's b128 numbers carried it).
+        # Calibration and methodology: docs/tpu.md "timing through the tunnel".
+        iters = 20
         best = float("inf")
         for _ in range(3):
             t0 = time.time()
@@ -175,12 +179,13 @@ def bench_downstream(results):
     m, *_ = task.test_step(state, 0)  # compile both programs
     float(m["audio_to_params/test/mrstft"])  # scalar fetch (see above)
     best = float("inf")
-    for _ in range(3):
+    # 10 iters per fetch amortizes the tunnel's ~26 ms fetch RTT to <3 ms/step
+    for trial in range(3):
         t0 = time.time()
-        for i in range(3):
-            m, *_ = task.test_step(state, 1 + i)
+        for i in range(10):
+            m, *_ = task.test_step(state, 1 + 10 * trial + i)
         float(m["audio_to_params/test/mrstft"])  # scalar fetch (see above)
-        best = min(best, (time.time() - t0) / 3)
+        best = min(best, (time.time() - t0) / 10)
     results["downstream_test_step_ms_b128"] = round(best * 1e3, 2)
     print(f"downstream test step b128: {best * 1e3:.1f} ms", file=sys.stderr)
 
@@ -222,10 +227,10 @@ def bench_retrieval(results):
     best = float("inf")
     for trial in range(3):
         t0 = time.time()
-        for i in range(2):
-            ev.step(2 + 2 * trial + i)
+        for i in range(5):
+            ev.step(2 + 5 * trial + i)
         float(ev.best_dist[0])  # scalar fetch: hard sync through the tunnel
-        best = min(best, (time.time() - t0) / 2)
+        best = min(best, (time.time() - t0) / 5)
     results["retrieval_step_ms_1024cand"] = round(best * 1e3, 2)
     results["retrieval_candidates_per_sec"] = round(1024 / best, 1)
     print(f"retrieval step (1024 cand): {best * 1e3:.1f} ms", file=sys.stderr)
