@@ -17,6 +17,17 @@ FIXTURE=tests/golden/vision_trunk_fixture.pkl
 R3=runs/campaign          # round-3 artifacts (22,510-step b128 pretrain)
 RUN=runs/campaign_r4
 
+# ---- stage 0: regenerate the round-3 b128 pretrain checkpoint if absent
+# (runs/ is gitignored, so the 22,510-step campaign checkpoint does not survive a
+# round boundary; ~11 min on one chip to rebuild — tools/campaign_r3.sh stage 1).
+if [ ! -d "$R3/checkpoints/vicreg" ]; then
+  python pretrain.py \
+    vicreg.batch_size=128 vicreg.limit_train_batches=22510 \
+    vicreg.checkpoint_every_nbatches=2000 \
+    vicreg.vision_weights_path=$FIXTURE \
+    run_dir=$R3 log_every=100 || exit $?
+fi
+
 # ---- stage A: fixture-init vs random-init pretrain curves (2k steps, same seed)
 python pretrain.py \
   vicreg.batch_size=128 vicreg.limit_train_batches=2000 \
@@ -30,14 +41,19 @@ python pretrain.py \
   run_dir=$RUN/init_random log_every=50 || exit $?
 
 # ---- stage A2: quantify the bf16-vs-f32 test-metric delta once (VERDICT ask #6).
-# Test-only passes (limit == checkpoint step -> fit is a no-op) over the round-3
-# b1024 head, one per spectral test path. mel.test_method now DEFAULTS to
-# matmul_f32; this records how far the old bf16-reported numbers drifted.
+# First run retrains the round-3 b1024 param_mse head (its r3 settings from
+# campaign_r3.sh stage 2c — runs/ did not survive the round boundary); the second
+# resumes from the step-6000 checkpoint (fit is a no-op) and only re-tests on the
+# other spectral path. mel.test_method now DEFAULTS to matmul_f32; this records
+# how far the old bf16-reported numbers drifted.
 for m in matmul_f32 matmul_bf16; do
   python downstream.py \
     audio_to_params.batch_size=1024 \
     audio_to_params.loss=param_mse \
     audio_to_params.limit_train_batches=6000 \
+    audio_to_params.checkpoint_every_nbatches=1500 \
+    audio_to_params.dropout=0.0 \
+    '+audio_to_params.scheduler={name: LinearWarmupCosineAnnealingLR, args: {warmup_epochs: 300, max_epochs: 6000}}' \
     mel.test_method=$m \
     vicreg.batch_size=128 \
     vicreg.vision_weights_path=$FIXTURE \
