@@ -69,6 +69,7 @@ for obj in embedding combined; do
   python downstream.py \
     audio_to_params.batch_size=1024 \
     audio_to_params.loss=$obj \
+    audio_to_params.mel_rows=256 \
     audio_to_params.limit_train_batches=6000 \
     audio_to_params.checkpoint_every_nbatches=1500 \
     audio_to_params.dropout=0.0 \
@@ -105,6 +106,7 @@ python downstream.py \
 python downstream.py \
   audio_to_params.batch_size=1024 \
   audio_to_params.loss=combined \
+    audio_to_params.mel_rows=256 \
   audio_to_params.limit_train_batches=6000 \
   audio_to_params.checkpoint_every_nbatches=1500 \
   audio_to_params.dropout=0.0 \
