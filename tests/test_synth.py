@@ -164,6 +164,13 @@ def test_noise_fixed_and_batch_invariant():
     n2 = modules.noise(key, 4, 1000)
     np.testing.assert_array_equal(np.asarray(n1), np.asarray(n2)[:2])
     assert float(n1.min()) >= -1.0 and float(n1.max()) <= 1.0
+    # row_offset reproduces rows offset..offset+B of the un-chunked buffer — the
+    # contract retrieval's inner scan relies on so a params-identical candidate
+    # at global row j reproduces query row j's noise exactly (eval/retrieval.py)
+    tail = modules.noise(key, 2, 1000, row_offset=2)
+    np.testing.assert_array_equal(np.asarray(tail), np.asarray(n2)[2:])
+    traced = modules.noise(key, 2, 1000, row_offset=jnp.int32(2))
+    np.testing.assert_array_equal(np.asarray(traced), np.asarray(n2)[2:])
 
 
 def test_upsample_linear():
