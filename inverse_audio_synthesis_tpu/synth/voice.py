@@ -223,17 +223,11 @@ def _fused_scalars(p, midi_f0: jax.Array) -> jax.Array:
     return jnp.pad(out, ((0, 0), (0, 16 - out.shape[1])))
 
 
-def _render_voice_fused_impl(params01, config: SynthConfig, interpret: bool, mesh=None):
+def _render_voice_fused_impl(params01, noise, config: SynthConfig, interpret: bool, mesh=None):
     from inverse_audio_synthesis_tpu.ops.pallas.render import render_audio_fused
 
     p, routed, midi_f0 = compute_controls(params01, config)
     scalars = _fused_scalars(p, midi_f0)
-    # Noise is generated in the GLOBAL program keyed by global row index, so under a
-    # data-sharded mesh every shard gets distinct rows (shard-local keying inside the
-    # shard_map body would duplicate the same noise on every shard).
-    noise = modules.noise(
-        jax.random.PRNGKey(config.noise_seed), params01.shape[0], config.buffer_size
-    )
     render = partial(
         render_audio_fused, sample_rate=float(config.sample_rate), interpret=interpret
     )
@@ -254,25 +248,54 @@ def _render_voice_fused_impl(params01, config: SynthConfig, interpret: bool, mes
     return render(routed, scalars, noise)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
-def render_voice_fused(params01, config: SynthConfig, interpret: bool = False, mesh=None):
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _render_voice_fused_vjp(params01, noise, config: SynthConfig, interpret, mesh):
+    return _render_voice_fused_impl(params01, noise, config, interpret, mesh)
+
+
+def _fused_fwd(params01, noise, config, interpret, mesh):
+    out = _render_voice_fused_impl(params01, noise, config, interpret, mesh)
+    return out, (params01, noise)
+
+
+def _fused_bwd(config, interpret, mesh, res, g):
+    params01, noise = res
+    _, vjp = jax.vjp(lambda q: render_voice(q, config, noise=noise), params01)
+    # noise is a fixed buffer, never a differentiation target — the zero cotangent
+    # is dead at every call site and DCE'd by XLA
+    return (vjp(g)[0], jnp.zeros_like(noise))
+
+
+_render_voice_fused_vjp.defvjp(_fused_fwd, _fused_bwd)
+
+
+def render_voice_fused(
+    params01, config: SynthConfig, interpret: bool = False, mesh=None, noise=None
+):
     """Single-HBM-pass Pallas render (see ops/pallas/render.py). Same semantics as
     ``render_voice`` up to float association in the phase integration; differentiable
     via the jnp path's VJP. Pass ``mesh`` to shard the kernel over the mesh's 'data'
-    axis via shard_map (multi-chip data parallelism)."""
-    return _render_voice_fused_impl(params01, config, interpret, mesh)
+    axis via shard_map (multi-chip data parallelism).
 
-
-def _fused_fwd(params01, config, interpret, mesh):
-    return _render_voice_fused_impl(params01, config, interpret, mesh), params01
-
-
-def _fused_bwd(config, interpret, mesh, params01, g):
-    _, vjp = jax.vjp(lambda q: render_voice(q, config), params01)
-    return (vjp(g)[0],)
-
-
-render_voice_fused.defvjp(_fused_fwd, _fused_bwd)
+    ``noise`` optionally provides the fixed-seed noise buffer (torchsynth
+    pre-generates it once at Voice init — /root/reference's torchsynth dependency —
+    so a training loop should generate it once and pass it here rather than pay the
+    per-step threefry regeneration; values are identical either way). When omitted
+    it is generated in the GLOBAL program keyed by global row index, so under a
+    data-sharded mesh every shard gets distinct rows (shard-local keying inside the
+    shard_map body would duplicate the same noise on every shard)."""
+    if noise is None:
+        noise = modules.noise(
+            jax.random.PRNGKey(config.noise_seed), params01.shape[0], config.buffer_size
+        )
+    else:
+        b = params01.shape[0]
+        assert noise.shape[0] >= b, (noise.shape, b)
+        if noise.shape[0] > b:
+            # rows are position-keyed, so the leading slice of a larger cached
+            # buffer IS the buffer a b-row call would generate
+            noise = noise[:b]
+    return _render_voice_fused_vjp(params01, noise, config, interpret, mesh)
 
 
 def fused_render_available(config: SynthConfig) -> bool:
@@ -286,27 +309,17 @@ def fused_render_available(config: SynthConfig) -> bool:
 def render_fused_with_noise(
     params01, config: SynthConfig, noise: jax.Array, interpret: bool = False
 ) -> jax.Array:
-    """Fused render with a CALLER-PROVIDED noise buffer (inference-only: no custom
-    VJP). Exists for the retrieval evaluator, whose candidate stream keys noise per
-    sub-chunk position (eval/retrieval.py) — the stock fused path generates its own
-    fixed-seed buffer."""
-    from inverse_audio_synthesis_tpu.ops.pallas.render import render_audio_fused
-
-    p, routed, midi_f0 = compute_controls(params01, config)
-    scalars = _fused_scalars(p, midi_f0)
-    return render_audio_fused(
-        routed, scalars, noise, sample_rate=float(config.sample_rate),
-        interpret=interpret,
-    )
+    """Fused render with a CALLER-PROVIDED noise buffer. Kept as a named entry for
+    the retrieval evaluator's candidate stream (noise keyed per sub-chunk position,
+    eval/retrieval.py); now a thin alias of ``render_voice_fused(noise=...)``."""
+    return render_voice_fused(params01, config, interpret, None, noise)
 
 
 def render_voice_auto(params01, config: SynthConfig, noise=None) -> jax.Array:
     """Fused Pallas render on TPU when the geometry allows, else the jnp path.
     ``noise`` optionally overrides the fixed-seed noise buffer (see render_voice)."""
     if fused_render_available(config) and jax.default_backend() == "tpu":
-        if noise is None:
-            return render_voice_fused(params01, config, False)
-        return render_fused_with_noise(params01, config, noise)
+        return render_voice_fused(params01, config, False, None, noise)
     return render_voice(params01, config, noise=noise)
 
 

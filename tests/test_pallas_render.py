@@ -130,3 +130,46 @@ def test_fused_grad_uses_jnp_vjp():
     # and jax.grad through the fused loss is finite end-to-end
     gl = jax.grad(lambda q: jnp.mean(render_voice_fused(q, CFG, True) ** 2))(params)
     assert np.isfinite(np.asarray(gl)).all()
+
+
+def test_cached_noise_buffer_bit_identical():
+    """A pre-generated fixed-seed buffer (train/pretrain.make_render_fn's cache)
+    must reproduce the internal-generation path BIT-identically, including the
+    leading-slice case (a caller rendering a sub-batch, e.g. the downstream mel
+    chunk, against a full-batch cache)."""
+    from inverse_audio_synthesis_tpu.synth import modules
+
+    cfg = SynthConfig(batch_size=4, buffer_size_seconds=1.0)
+    params = sample_voice_params(21, cfg)
+    cache8 = modules.noise(jax.random.PRNGKey(cfg.noise_seed), 8, cfg.buffer_size)
+    internal = np.asarray(render_voice_fused(params, cfg, True))
+    cached = np.asarray(render_voice_fused(params, cfg, True, None, cache8))
+    np.testing.assert_array_equal(internal, cached)
+    # jnp path too
+    ref_internal = np.asarray(render_voice(params, cfg))
+    ref_cached = np.asarray(render_voice(params, cfg, noise=cache8[:4]))
+    np.testing.assert_array_equal(ref_internal, ref_cached)
+
+
+def test_cached_noise_grad_matches_and_drops_noise_cotangent():
+    """Gradients through the provided-noise fused path equal the internal path's,
+    and differentiating w.r.t. params only (the production shape: noise is a fixed
+    buffer) works under jit."""
+    from inverse_audio_synthesis_tpu.synth import modules
+
+    cfg = SynthConfig(batch_size=4, buffer_size_seconds=1.0)
+    params = sample_voice_params(2, cfg)
+    noise = modules.noise(jax.random.PRNGKey(cfg.noise_seed), 4, cfg.buffer_size)
+    cot = jax.random.normal(jax.random.PRNGKey(1), (4, cfg.buffer_size))
+    _, vjp_cached = jax.vjp(
+        lambda q: render_voice_fused(q, cfg, True, None, noise), params
+    )
+    _, vjp_internal = jax.vjp(lambda q: render_voice_fused(q, cfg, True), params)
+    np.testing.assert_array_equal(
+        np.asarray(vjp_cached(cot)[0]), np.asarray(vjp_internal(cot)[0])
+    )
+
+    g = jax.jit(
+        jax.grad(lambda q: jnp.mean(render_voice_fused(q, cfg, True, None, noise) ** 2))
+    )(params)
+    assert np.isfinite(np.asarray(g)).all()
