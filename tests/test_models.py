@@ -139,8 +139,9 @@ def test_bn_bf16_knob_same_params_finite_close():
     pytree is identical (checkpoints stay compatible) and outputs stay finite.
     At random init the trunk's fp32-vs-bf16-BN outputs drift ~14% relative
     (depth-compounded rounding through hard_swish/SE) — the loose bound here is
-    a catastrophe detector; convergence equivalence is an on-chip A/B question,
-    which is why conf/config.yaml defaults bn_bf16 off."""
+    a catastrophe detector. Convergence equivalence was settled by the on-chip
+    A/B (BASELINE.md round 4: same-seed 2,000-step curves within 0.25%, step
+    25.10 -> 24.58 ms), which flipped the conf/config.yaml default to on."""
     import jax.tree_util as jtu
 
     x = jax.random.uniform(
