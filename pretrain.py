@@ -21,6 +21,10 @@ def app(cfg) -> None:
     if cfg.get("platform"):
         jax.config.update("jax_platforms", cfg.platform)
 
+    from inverse_audio_synthesis_tpu.utils.utils import enable_compile_cache
+
+    enable_compile_cache()  # tunnel compile RTTs dominate CLI startup; IAS_NO_COMPILE_CACHE=1 opts out
+
     from inverse_audio_synthesis_tpu.parallel.mesh import create_mesh
     from inverse_audio_synthesis_tpu.train.checkpoint import CheckpointManager
     from inverse_audio_synthesis_tpu.train.loop import Trainer
