@@ -54,11 +54,20 @@ def make_render_fn(synth_cfg: SynthConfig, mesh):
     over the 'data' axis when the mesh has >1 data shard, with noise rows keyed by
     global row index); otherwise the jnp path. Logs the chosen path once so a config
     drift that silently drops the ~10x kernel is visible in run logs (e.g. a
-    control_rate change pushing the upsample ratio out of [2, 128])."""
+    control_rate change pushing the upsample ratio out of [2, 128]).
+
+    The fixed-seed noise buffer is generated ONCE here and closed over, mirroring
+    torchsynth's pre-generated Voice noise buffer: regenerating it inside the jitted
+    step costs a [B, 176400] threefry per step (and a second one in the fused
+    kernel's jnp-path backward). Values are identical either way (modules.noise is
+    position-keyed). Callers may pass a smaller batch (e.g. the downstream mel-term
+    row chunk); render slices the leading rows, which reproduces the smaller
+    buffer exactly."""
     import logging
 
     import jax
 
+    from inverse_audio_synthesis_tpu.synth import modules
     from inverse_audio_synthesis_tpu.synth.voice import (
         fused_render_available,
         render_voice,
@@ -66,6 +75,11 @@ def make_render_fn(synth_cfg: SynthConfig, mesh):
     )
 
     log = logging.getLogger(__name__)
+    noise_buf = jax.jit(modules.noise, static_argnums=(1, 2))(
+        jax.random.PRNGKey(synth_cfg.noise_seed),
+        synth_cfg.batch_size,
+        synth_cfg.buffer_size,
+    )
     if fused_render_available(synth_cfg) and jax.default_backend() == "tpu":
         data_shards = mesh.shape["data"]
         log.info(
@@ -74,14 +88,14 @@ def make_render_fn(synth_cfg: SynthConfig, mesh):
             ", shard_map" if data_shards > 1 else "",
         )
         shard_mesh = mesh if data_shards > 1 else None
-        return lambda p: render_voice_fused(p, synth_cfg, False, shard_mesh)
+        return lambda p: render_voice_fused(p, synth_cfg, False, shard_mesh, noise_buf)
     log.info(
         "render path: jnp fallback (backend=%s, fused geometry supported=%s) — "
         "~10x slower than the fused Pallas kernel",
         jax.default_backend(),
         fused_render_available(synth_cfg),
     )
-    return lambda p: render_voice(p, synth_cfg)
+    return lambda p: render_voice(p, synth_cfg, noise=noise_buf[: p.shape[0]])
 
 
 def synth_config_from_cfg(cfg, batch_size: int) -> SynthConfig:
