@@ -153,7 +153,7 @@ def bench_vicreg_steps(results):
         results[f"pairs_per_sec_b{bs}"] = round(bs / best, 1)
         print(f"vicreg step b{bs}: {best * 1e3:.1f} ms", file=sys.stderr)
         if bs == 128:
-            flops, nbytes = _step_cost(task.train_step, state, 0)
+            flops, nbytes = _step_cost(task._train_step_jit, state, 0, task._noise)
             if flops and peak_flops:
                 results["vicreg_step_b128_mfu"] = round(flops / best / peak_flops, 4)
                 results["vicreg_step_b128_tflops"] = round(flops / best / 1e12, 1)
@@ -314,14 +314,16 @@ def main() -> None:
     )
 
     @jax.jit
-    def step(batch_num):
+    def step(batch_num, noise):
+        # noise is an ARGUMENT, not a closure: jit bakes closed-over arrays into
+        # the HLO as literal constants (90 MB at b128), bloating the tunnel upload
         params01 = sample_voice_params(batch_num, cfg)
-        audio = render_voice_auto(params01, cfg, noise=noise_buf)  # fused kernel on TPU
+        audio = render_voice_auto(params01, cfg, noise=noise)  # fused kernel on TPU
         # reduce so the final value fetch forces the whole pipeline (the tunneled
         # device's block_until_ready is not a reliable sync)
         return jnp.sum(mel(audio))
 
-    float(step(0))  # compile + hard sync
+    float(step(0, noise_buf))  # compile + hard sync
     # The tunneled TPU is pool-shared: timings swing >10x with contention. Take the
     # best trial (least-contended ≈ hardware capability); pipeline iterations within a
     # trial and hard-sync once at the end.
@@ -329,7 +331,7 @@ def main() -> None:
     n = 1
     for trial in range(TRIALS):
         t0 = time.time()
-        outs = [step(n + i) for i in range(ITERS_PER_TRIAL)]
+        outs = [step(n + i, noise_buf) for i in range(ITERS_PER_TRIAL)]
         float(outs[-1])
         dt = (time.time() - t0) / ITERS_PER_TRIAL
         n += ITERS_PER_TRIAL

@@ -110,11 +110,12 @@ class AudioToParamsTask:
             if self._test_spectral_method == self._spectral_method
             else _make_mel(self._test_spectral_method)
         )
-        self._render = make_render_fn(self.synth, mesh)
+        self._render, self._noise = make_render_fn(self.synth, mesh)
         self._dropout_base = jax.random.PRNGKey(cfg.seed + 2)
-        # NB: the frozen tower variables are passed as ARGUMENTS to the jitted steps —
-        # closing over them bakes all 173M params into the HLO as literal constants
-        # (692 MB serialized, breaking the remote-compile request limit)
+        # NB: the frozen tower variables AND the noise buffer are passed as
+        # ARGUMENTS to the jitted steps — closing over them bakes them into the
+        # HLO as literal constants (692 MB of towers / 722 MB of noise at b1024,
+        # breaking the remote-compile request limit)
         self._train_step_jit = jax.jit(self._train_step, donate_argnums=0)
         # test pass: ONE fused program when the serialized HLO fits the
         # remote-compile request limit (saves a dispatch round-trip through the
@@ -127,7 +128,7 @@ class AudioToParamsTask:
         self._test_fused_ok: Optional[bool] = None
 
     def train_step(self, state: TrainState, batch_num):
-        return self._train_step_jit(state, batch_num, self.frozen)
+        return self._train_step_jit(state, batch_num, self.frozen, self._noise)
 
     def init_state(self, key: Optional[jax.Array] = None) -> TrainState:
         key = key if key is not None else jax.random.PRNGKey(self.cfg.seed)
@@ -158,9 +159,9 @@ class AudioToParamsTask:
             method=lambda m, r, train: m.projector(r, train=train),
         )
 
-    def _synthesize(self, batch_num):
+    def _synthesize(self, batch_num, noise):
         params01 = shard_batch(sample_voice_params(batch_num, self.synth), self.mesh)
-        audio = shard_batch(self._render(params01), self.mesh)
+        audio = shard_batch(self._render(params01, noise), self.mesh)
         return audio[:, None, :], params01
 
     def _shared(self, frozen, head_variables, audio, params01, train, dropout_key=None):
@@ -191,8 +192,8 @@ class AudioToParamsTask:
         return pred_params, repr_loss, frozen_loss, mutated
 
     # -- steps ---------------------------------------------------------------------
-    def _train_step(self, state: TrainState, batch_num, frozen):
-        audio, params01 = self._synthesize(batch_num)
+    def _train_step(self, state: TrainState, batch_num, frozen, noise):
+        audio, params01 = self._synthesize(batch_num, noise)
         dropout_key = jax.random.fold_in(self._dropout_base, state.step)
         loss_kind = self.cfg.audio_to_params.get("loss", "embedding")
 
@@ -216,7 +217,7 @@ class AudioToParamsTask:
                 pp, ta = pred_params, audio[:, 0, :]
                 if rows and rows < pp.shape[0]:
                     pp, ta = pp[:rows], ta[:rows]
-                pred_audio = self._render(pp.astype(jnp.float32))
+                pred_audio = self._render(pp.astype(jnp.float32), noise)
                 # one stacked mel call: single framing + DFT matmul for both signals
                 m = self.mel(jnp.stack([pred_audio, ta]))
                 return jnp.mean(jnp.abs(m[0] - m[1]))
@@ -264,17 +265,17 @@ class AudioToParamsTask:
             metrics[f"audio_to_params/train/{name}"] = value
         return state, metrics
 
-    def _test_predict_impl(self, state: TrainState, batch_num, frozen):
-        audio, params01 = self._synthesize(batch_num)
+    def _test_predict_impl(self, state: TrainState, batch_num, frozen, noise):
+        audio, params01 = self._synthesize(batch_num, noise)
         variables = {"params": state.params, "batch_stats": state.batch_stats}
         pred_params, repr_loss, frozen_loss, _ = self._shared(
             frozen, variables, audio, params01, train=False
         )
         return audio[:, 0, :], params01, pred_params, repr_loss, frozen_loss
 
-    def _test_metrics_impl(self, true_audio, params01, pred_params):
+    def _test_metrics_impl(self, true_audio, params01, pred_params, noise):
         # resynthesize from predicted params — a pure function call
-        pred_audio = self._render(pred_params.astype(jnp.float32))
+        pred_audio = self._render(pred_params.astype(jnp.float32), noise)
         # one stacked mel call for pred / true; fp32-honest test path (see __init__)
         mels = self.mel_test(jnp.stack([pred_audio, true_audio]))
         mrstft, mrstft_silence = multi_resolution_stft_loss(
@@ -312,11 +313,13 @@ class AudioToParamsTask:
         }
         return metrics, pred_audio
 
-    def _test_full_impl(self, state: TrainState, batch_num, frozen):
+    def _test_full_impl(self, state: TrainState, batch_num, frozen, noise):
         true_audio, params01, pred_params, repr_loss, frozen_loss = (
-            self._test_predict_impl(state, batch_num, frozen)
+            self._test_predict_impl(state, batch_num, frozen, noise)
         )
-        metrics, pred_audio = self._test_metrics_impl(true_audio, params01, pred_params)
+        metrics, pred_audio = self._test_metrics_impl(
+            true_audio, params01, pred_params, noise
+        )
         metrics = {
             "audio_to_params/test/loss": repr_loss,
             "audio_to_params/test/frozen_vicreg_loss": frozen_loss,
@@ -327,7 +330,7 @@ class AudioToParamsTask:
     def test_step(self, state: TrainState, batch_num):
         if self._test_fused_ok is not False:
             try:
-                out = self._test_full(state, batch_num, self.frozen)
+                out = self._test_full(state, batch_num, self.frozen, self._noise)
                 if not self._test_fused_ok:
                     # materialize before declaring the fused program viable: an
                     # async execution-time error on the first batch must land HERE
@@ -351,9 +354,11 @@ class AudioToParamsTask:
                 )
                 self._test_fused_ok = False
         true_audio, params01, pred_params, repr_loss, frozen_loss = self._test_predict(
-            state, batch_num, self.frozen
+            state, batch_num, self.frozen, self._noise
         )
-        metrics, pred_audio = self._test_metrics(true_audio, params01, pred_params)
+        metrics, pred_audio = self._test_metrics(
+            true_audio, params01, pred_params, self._noise
+        )
         metrics = {
             "audio_to_params/test/loss": repr_loss,
             "audio_to_params/test/frozen_vicreg_loss": frozen_loss,

@@ -50,23 +50,30 @@ def maybe_bf16_grads(cfg, grads):
 
 
 def make_render_fn(synth_cfg: SynthConfig, mesh):
-    """Render function for this mesh: the fused Pallas kernel on TPU (shard_mapped
-    over the 'data' axis when the mesh has >1 data shard, with noise rows keyed by
-    global row index); otherwise the jnp path. Logs the chosen path once so a config
-    drift that silently drops the ~10x kernel is visible in run logs (e.g. a
-    control_rate change pushing the upsample ratio out of [2, 128]).
+    """Returns ``(render, noise_buf)`` for this mesh: ``render(params01, noise)`` is
+    the fused Pallas kernel on TPU (shard_mapped over the 'data' axis when the mesh
+    has >1 data shard, with noise rows keyed by global row index); otherwise the jnp
+    path. Logs the chosen path once so a config drift that silently drops the ~10x
+    kernel is visible in run logs (e.g. a control_rate change pushing the upsample
+    ratio out of [2, 128]).
 
-    The fixed-seed noise buffer is generated ONCE here and closed over, mirroring
-    torchsynth's pre-generated Voice noise buffer: regenerating it inside the jitted
-    step costs a [B, 176400] threefry per step (and a second one in the fused
-    kernel's jnp-path backward). Values are identical either way (modules.noise is
-    position-keyed). Callers may pass a smaller batch (e.g. the downstream mel-term
-    row chunk); render slices the leading rows, which reproduces the smaller
-    buffer exactly."""
+    The fixed-seed noise buffer is generated ONCE here, mirroring torchsynth's
+    pre-generated Voice noise buffer: regenerating it inside the jitted step costs a
+    [B, 176400] threefry per step (and a second one in the fused kernel's jnp-path
+    backward). Values are identical either way (modules.noise is position-keyed).
+    Callers may render a smaller batch (e.g. the downstream mel-term row chunk);
+    render slices the leading rows, which reproduces the smaller buffer exactly.
+
+    The buffer MUST enter the jitted step as a runtime ARGUMENT, never a closure:
+    jit bakes closed-over arrays into the HLO as literal constants, and at the
+    reference's batch 1024 the [1024, 176400] fp32 buffer is a 722 MB literal —
+    breaking the remote-compile request limit (the same hazard train/downstream.py
+    documents for the frozen towers). Hence the explicit ``noise`` parameter."""
     import logging
 
     import jax
 
+    from inverse_audio_synthesis_tpu.parallel.mesh import shard_batch
     from inverse_audio_synthesis_tpu.synth import modules
     from inverse_audio_synthesis_tpu.synth.voice import (
         fused_render_available,
@@ -80,6 +87,7 @@ def make_render_fn(synth_cfg: SynthConfig, mesh):
         synth_cfg.batch_size,
         synth_cfg.buffer_size,
     )
+    noise_buf = shard_batch(noise_buf, mesh)
     if fused_render_available(synth_cfg) and jax.default_backend() == "tpu":
         data_shards = mesh.shape["data"]
         log.info(
@@ -88,14 +96,20 @@ def make_render_fn(synth_cfg: SynthConfig, mesh):
             ", shard_map" if data_shards > 1 else "",
         )
         shard_mesh = mesh if data_shards > 1 else None
-        return lambda p: render_voice_fused(p, synth_cfg, False, shard_mesh, noise_buf)
+        return (
+            lambda p, noise: render_voice_fused(p, synth_cfg, False, shard_mesh, noise),
+            noise_buf,
+        )
     log.info(
         "render path: jnp fallback (backend=%s, fused geometry supported=%s) — "
         "~10x slower than the fused Pallas kernel",
         jax.default_backend(),
         fused_render_available(synth_cfg),
     )
-    return lambda p: render_voice(p, synth_cfg, noise=noise_buf[: p.shape[0]])
+    return (
+        lambda p, noise: render_voice(p, synth_cfg, noise=noise[: p.shape[0]]),
+        noise_buf,
+    )
 
 
 def synth_config_from_cfg(cfg, batch_size: int) -> SynthConfig:
@@ -152,10 +166,19 @@ class VicregPretrainTask:
         self.tx, self.schedule = make_optimizer(
             cfg.vicreg.optim, cfg.vicreg.batch_size, cfg.vicreg.get("scheduler")
         )
-        self._render = make_render_fn(self.synth, mesh)
+        # noise buffer rides the jit boundary as an ARGUMENT (make_render_fn's
+        # docstring: a closure would bake it into the HLO as a 722 MB literal at
+        # the reference's b1024)
+        self._render, self._noise = make_render_fn(self.synth, mesh)
         self._dropout_base = jax.random.PRNGKey(cfg.seed + 1)
-        self.train_step = jax.jit(self._train_step, donate_argnums=0)
-        self.val_step = jax.jit(self._eval_step)
+        self._train_step_jit = jax.jit(self._train_step, donate_argnums=0)
+        self._val_step_jit = jax.jit(self._eval_step)
+
+    def train_step(self, state: TrainState, batch_num):
+        return self._train_step_jit(state, batch_num, self._noise)
+
+    def val_step(self, state: TrainState, batch_num):
+        return self._val_step_jit(state, batch_num, self._noise)
 
     # -- state -----------------------------------------------------------------
     def init_state(self, key: Optional[jax.Array] = None) -> TrainState:
@@ -202,10 +225,10 @@ class VicregPretrainTask:
         return variables
 
     # -- steps -------------------------------------------------------------------
-    def _synthesize(self, batch_num):
+    def _synthesize(self, batch_num, noise):
         params01 = sample_voice_params(batch_num, self.synth)
         params01 = shard_batch(params01, self.mesh)
-        audio = shard_batch(self._render(params01), self.mesh)
+        audio = shard_batch(self._render(params01, noise), self.mesh)
         return audio[:, None, :], params01
 
     def _losses(self, x, y):
@@ -223,9 +246,9 @@ class VicregPretrainTask:
         )
 
     def _train_step(
-        self, state: TrainState, batch_num
+        self, state: TrainState, batch_num, noise
     ) -> Tuple[TrainState, Dict[str, jax.Array]]:
-        audio, params01 = self._synthesize(batch_num)
+        audio, params01 = self._synthesize(batch_num, noise)
         dropout_key = jax.random.fold_in(self._dropout_base, state.step)
 
         def loss_fn(params):
@@ -261,8 +284,8 @@ class VicregPretrainTask:
         }
         return state, metrics
 
-    def _eval_step(self, state: TrainState, batch_num) -> Dict[str, jax.Array]:
-        audio, params01 = self._synthesize(batch_num)
+    def _eval_step(self, state: TrainState, batch_num, noise) -> Dict[str, jax.Array]:
+        audio, params01 = self._synthesize(batch_num, noise)
         x, y = state.apply_fn(
             {"params": state.params, "batch_stats": state.batch_stats},
             audio,

@@ -190,3 +190,23 @@ def test_train_determinism(task):
             seq.append(float(m["vicreg/train/loss"]))
         losses.append(seq)
     assert losses[0] == losses[1]
+
+
+def test_noise_buffer_not_baked_into_hlo(task):
+    """The cached fixed-seed noise buffer must enter the jitted train step as a
+    runtime ARGUMENT — a closure would bake it into the lowered module as a literal
+    constant ([1024, 176400] fp32 = 722 MB at the reference's b1024, breaking the
+    remote-compile request limit; this regression shipped once as HTTP 413)."""
+    import re
+
+    state = task.init_state()
+    txt = task._train_step_jit.lower(state, 0, task._noise).as_text()
+    b, t = task._noise.shape
+    shape = f"{b}x{t}"
+    pattern = rf"(stablehlo\.constant|dense_resource)[^\n]*tensor<{shape}x"
+    assert not re.findall(pattern, txt), (
+        f"noise-buffer-shaped literal constant found in the lowered train step "
+        f"(shape [{b}, {t}])"
+    )
+    # the noise must still be IN the program — as a function argument
+    assert re.search(rf"tensor<{shape}xf32>", txt), "noise argument missing"

@@ -104,7 +104,7 @@ def main():
 
     # --- phase programs --------------------------------------------------------
     synth_j = jax.jit(task._synthesize)
-    audio, params01 = synth_j(0)
+    audio, params01 = synth_j(0, task._noise)
     jax.block_until_ready(audio)
 
     @jax.jit
@@ -163,7 +163,9 @@ def main():
         rows.append((name, ms, fl, by, t_fl, t_by, t_min, bound, note))
         print(f"  {name}: {ms:.2f} ms", file=sys.stderr)
 
-    phase("synth (sample+render)", lambda: synth_j(next(counter) % 7), synth_j, (0,),
+    phase("synth (sample+render)",
+          lambda: synth_j(next(counter) % 7, task._noise),
+          synth_j, (0, task._noise),
           min_bytes=2 * audio_b,  # kernel reads the noise buffer, writes audio
           note="VPU-transcendental-bound; see fast-poly probe")
     phase("model fwd (towers+projector)",
