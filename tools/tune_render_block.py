@@ -9,9 +9,17 @@ docs/tpu.md timing methodology (>=20 iterations amortized per host fetch,
 best-of-N trials on the pool-shared chip).
 
 Usage: python tools/tune_render_block.py [batch] [iters] [trials]
+
+Measured 2026-08-19 (b128, 20 iters/fetch, best-of-3): the defaults are the
+optimum of the viable space — tile=32/seg=64 5.905 ms render-only; smaller
+tiles/segments cost 2-11%; every config with block >= 12800 samples or
+tile=64 fails remote compile (VMEM).
 """
 import sys
 import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import jax
 import jax.numpy as jnp
@@ -27,17 +35,22 @@ from inverse_audio_synthesis_tpu.utils.utils import enable_compile_cache
 
 
 def time_config(params01, cfg, noise, iters, trials):
+    # i perturbs the input each iteration (0-valued term — the render itself is
+    # unchanged) so every dispatch is a fresh execution; the sync is a SCALAR
+    # FETCH, not block_until_ready (unreliable through the tunnel — bench.py)
     fn = jax.jit(
-        lambda p, n: jnp.sum(render_voice_fused(p, cfg, noise=n) ** 2)
+        lambda p, n, i: jnp.sum(
+            render_voice_fused(p + 0.0 * i, cfg, noise=n) ** 2
+        )
     )
-    fn(params01, noise).block_until_ready()  # compile
+    float(fn(params01, noise, 0.0))  # compile + hard sync
     best = float("inf")
+    k = 1
     for _ in range(trials):
         t0 = time.perf_counter()
-        acc = None
-        for _ in range(iters):
-            acc = fn(params01, noise)
-        acc.block_until_ready()
+        outs = [fn(params01, noise, float(k + j)) for j in range(iters)]
+        float(outs[-1])
+        k += iters
         best = min(best, (time.perf_counter() - t0) / iters)
     return best * 1e3
 
