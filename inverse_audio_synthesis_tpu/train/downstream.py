@@ -67,7 +67,34 @@ class AudioToParamsTask:
     def __init__(self, cfg, mesh, pretrain_task: VicregPretrainTask, pretrain_state):
         self.cfg = cfg
         self.mesh = mesh
-        self.vicreg_model = pretrain_task.model
+        # frozen-tower BatchNorm mode. "running" (default) = eval-mode running
+        # averages, matching the reference's `self.vicreg.eval()` every step
+        # (reference: audio_to_params.py:185,212-213). "batch" = normalize on the
+        # CURRENT batch's statistics (running stats untouched): the embedding
+        # geometry VICReg actually optimized lives in train-mode BN — measured
+        # eval-mode discriminability of the projected param embedding COLLAPSES
+        # with pretrain batch size (row-MSE between different params: 6.7e-4 at
+        # b128 → 1.3e-7 at b512 → 4.3e-8 at b1024 pretrains, while train-mode
+        # stays 0.2–0.6; tools/probe_frozen_bn.py), which starves the
+        # embedding-space objective of signal. "batch" makes embeddings
+        # batch-dependent — a documented deviation, off by default.
+        frozen_bn = cfg.audio_to_params.get("frozen_bn", "running")
+        assert frozen_bn in ("running", "batch"), frozen_bn
+        self._frozen_train = frozen_bn == "batch"
+        if self._frozen_train:
+            # rebuild the frozen model with the param tower's dropout disabled so
+            # train=True toggles ONLY batch-stats BN (flax keys both off `train`);
+            # the variables are module-hyperparam-independent, so the pretrained
+            # weights apply unchanged
+            import copy as _copy
+
+            from inverse_audio_synthesis_tpu.train.pretrain import build_vicreg_model
+
+            cfg_nodrop = _copy.deepcopy(cfg)
+            cfg_nodrop.param_embed.dropout = 0.0
+            self.vicreg_model = build_vicreg_model(cfg_nodrop)
+        else:
+            self.vicreg_model = pretrain_task.model
         # frozen pretrained variables (reference: audio_to_params.py:183-185,212-213)
         self.frozen = {
             "params": pretrain_state.params,
@@ -143,20 +170,29 @@ class AudioToParamsTask:
         return jax.device_put(state, param_shardings(state, self.mesh))
 
     # -- frozen tower helpers ----------------------------------------------------
+    def _frozen_apply(self, frozen, x, method):
+        """Apply a frozen-tower method under the configured BatchNorm mode.
+
+        frozen_bn="batch": train=True gives batch-statistics BN; the mutated
+        batch_stats are DISCARDED (the towers stay frozen) and no dropout rng is
+        needed (the frozen model was rebuilt with dropout 0, which flax
+        short-circuits before drawing randomness)."""
+        if self._frozen_train:
+            out, _ = self.vicreg_model.apply(
+                frozen, x, train=True, method=method, mutable=["batch_stats"]
+            )
+            return out
+        return self.vicreg_model.apply(frozen, x, train=False, method=method)
+
     def _audio_repr(self, frozen, audio):
-        return self.vicreg_model.apply(
-            frozen, audio, train=False, method=self.vicreg_model.audio_repr
-        )
+        return self._frozen_apply(frozen, audio, self.vicreg_model.audio_repr)
 
     def _embed_params(self, frozen, params01):
-        return self.vicreg_model.apply(
-            frozen, params01, train=False, method=self.vicreg_model.embed_params
-        )
+        return self._frozen_apply(frozen, params01, self.vicreg_model.embed_params)
 
     def _project_repr(self, frozen, repr_):
-        return self.vicreg_model.apply(
-            frozen, repr_, train=False,
-            method=lambda m, r, train: m.projector(r, train=train),
+        return self._frozen_apply(
+            frozen, repr_, lambda m, r, train: m.projector(r, train=train)
         )
 
     def _synthesize(self, batch_num, noise):

@@ -233,3 +233,51 @@ def test_param_mse_objective_and_baseline_floors(pretrain):
     assert 0.15 < const05 < 0.35  # ≈0.25 for uniform [0,1] params
     assert float(metrics["audio_to_params/baseline/mel_l1_silence"]) > 0
     assert float(metrics["audio_to_params/baseline/mrstft_silence"]) > 0
+
+
+def test_frozen_bn_batch_mode(pretrain):
+    """frozen_bn: "batch" — frozen towers normalize on the current batch's
+    statistics instead of eval-mode running averages (which collapse with
+    pretrain batch size: tools/probe_frozen_bn.py). Pins: (a) the mode is
+    deterministic (no dropout noise despite train=True), (b) the projected
+    param embedding is MORE discriminative across inputs than the running-stats
+    mode on a random-init model, (c) train/test steps run and stay finite,
+    (d) the frozen variables are untouched."""
+    cfg, mesh, pre_task, pre_state = pretrain
+    cfg_b = tiny_cfg(
+        **{"audio_to_params.batch_size": 8, "audio_to_params.frozen_bn": "batch"}
+    )
+    task_b = AudioToParamsTask(cfg_b, mesh, pre_task, pre_state)
+    task_r = AudioToParamsTask(cfg, mesh, pre_task, pre_state)
+
+    import jax
+
+    p = jax.random.uniform(jax.random.PRNGKey(0), (8, cfg.nparams))
+    e1 = np.asarray(task_b._embed_params(task_b.frozen, p), np.float32)
+    e2 = np.asarray(task_b._embed_params(task_b.frozen, p), np.float32)
+    np.testing.assert_array_equal(e1, e2)  # deterministic: dropout really is off
+
+    er = np.asarray(task_r._embed_params(task_r.frozen, p), np.float32)
+    row_mse_batch = float(((e1[0] - e1[1]) ** 2).mean())
+    row_mse_running = float(((er[0] - er[1]) ** 2).mean())
+    assert row_mse_batch > 0.0
+    # batch-stats BN recenters/rescales per batch — on these towers the
+    # cross-input separation should not be WORSE than running-stats mode
+    assert row_mse_batch >= 0.1 * row_mse_running
+
+    state = task_b.init_state()
+    stats_before = jax.tree.map(lambda x: np.asarray(x).copy(), task_b.frozen)
+    losses = []
+    for i in range(3):
+        state, metrics = task_b.train_step(state, 30 + i)
+        losses.append(float(metrics["audio_to_params/train/loss"]))
+    assert np.isfinite(losses).all()
+    metrics, _, pred_audio = task_b.test_step(state, 99)
+    assert np.isfinite(float(metrics["audio_to_params/test/param_mae"]))
+    assert np.isfinite(np.asarray(pred_audio)).all()
+    # frozen means frozen: neither params nor batch_stats moved
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), b),
+        task_b.frozen,
+        stats_before,
+    )
