@@ -15,10 +15,12 @@ Caveats printed with the table:
   utilization numbers are optimistic for bandwidth-bound phases. A second
   column gives the hand-derived minimal traffic (params at their stored dtype
   + kernel I/O) where we can state it.
-- The Pallas synth render is VPU-transcendental-bound, not MXU/HBM-bound; its
-  MXU roofline is meaningless. Its empirical floor probe is the
-  fast-polynomial-transcendental variant (sin/cos/tanh as degree-6/rational
-  polynomials), reported separately.
+- The Pallas synth render is on-chip compute-bound, not MXU/HBM-bound; its
+  MXU roofline is meaningless. Per the op-class ablation
+  (tools/ablate_render_kernel.py) no single op class dominates: stubbing ALL
+  transcendentals to identity recovers only ~6% of the render time (the
+  polynomial sin/cos/tanh pipeline at near-zero marginal cost) — the floor is
+  the aggregate VPU-issue/VMEM cost of the whole elementwise graph.
 
 Usage: python tools/roofline_table.py [batch_size]
 """
@@ -167,7 +169,8 @@ def main():
           lambda: synth_j(next(counter) % 7, task._noise),
           synth_j, (0, task._noise),
           min_bytes=2 * audio_b,  # kernel reads the noise buffer, writes audio
-          note="VPU-transcendental-bound; see fast-poly probe")
+          note="on-chip compute-bound; no single op class dominates "
+               "(tools/ablate_render_kernel.py)")
     phase("model fwd (towers+projector)",
           lambda: fwd(state.params, state.batch_stats, audio, params01),
           fwd, (state.params, state.batch_stats, audio, params01),
