@@ -83,8 +83,21 @@ def app(cfg) -> None:
         )
         sys.exit(75)
     print("final per-query min distances:", result["best_dist"].round(4).tolist())
+    print(
+        "NN param-MAE (chance floor 0.333):",
+        result["nn_param_mae"].round(4).tolist(),
+        f"mean {float(result['nn_param_mae'].mean()):.4f}",
+    )
     print(f"convergence artifacts: {run_dir / 'retrieval'}/convergence.{{csv,png}}")
-    logger.log({"retrieval/mean_min_dist": float(result["best_dist"].mean())})
+    logger.log(
+        {
+            "retrieval/mean_min_dist": float(result["best_dist"].mean()),
+            # param-space error of the audio-space NN: comparable across
+            # checkpoints (embedding distances are not) and a non-parametric
+            # inverse-synthesis baseline (chance floor 1/3)
+            "retrieval/mean_nn_param_mae": float(result["nn_param_mae"].mean()),
+        }
+    )
     logger.finish()
 
 

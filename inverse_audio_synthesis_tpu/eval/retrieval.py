@@ -69,6 +69,7 @@ class RetrievalEvaluator:
         )
 
         query_params = sample_voice_params(query_batch_num, query_synth)
+        self.query_params = query_params
         # auto: fused Pallas kernel on TPU (≈10× the jnp path); both the query and
         # the candidate stream below use the same renderer so distances between
         # params-identical sounds stay exactly comparable
@@ -85,9 +86,19 @@ class RetrievalEvaluator:
         n_q = query_synth.batch_size
         self.best_dist = jnp.full((n_q,), jnp.inf, jnp.float32)
         self.best_audio = jnp.zeros((n_q, candidate_synth.buffer_size), jnp.float32)
+        # the nearest neighbor's PARAMS: unlike embedding distances (whose scale is
+        # checkpoint-specific), the param-space error of the audio-space NN is
+        # comparable ACROSS checkpoints/representations — and it is a non-parametric
+        # inverse-synthesis baseline (predict a sound's params by NN lookup; the
+        # reference's purpose, audio_to_params.py:177-312). Chance floor: an
+        # uninformative embedding retrieves a random candidate, E|u−v| = 1/3 per
+        # dim for u,v ~ U(0,1).
+        self.best_params = jnp.zeros_like(query_params)
         self._chunk = jax.jit(self._chunk_step)
 
-    def _chunk_step(self, variables, query_emb, best_dist, best_audio, batch_num):
+    def _chunk_step(
+        self, variables, query_emb, best_dist, best_audio, best_params, batch_num
+    ):
         params = sample_voice_params(batch_num, self.candidate_synth)
         k = self.inner_chunk
         n_sub = self.candidate_synth.batch_size // k
@@ -96,7 +107,7 @@ class RetrievalEvaluator:
         query_emb = query_emb.astype(jnp.float32)
 
         def body(carry, xs):
-            best_dist, best_audio = carry
+            best_dist, best_audio, best_params = carry
             sub_params, sub_idx = xs
             # noise rows keyed by GLOBAL row position (sub_idx*k + j) with the same
             # single-level fold_in the fixed-seed render buffer uses (modules.noise):
@@ -116,18 +127,26 @@ class RetrievalEvaluator:
             improved = chunk_min < best_dist
             best_dist = jnp.where(improved, chunk_min, best_dist)
             best_audio = jnp.where(improved[:, None], audio[chunk_arg], best_audio)
-            return (best_dist, best_audio), None
+            best_params = jnp.where(
+                improved[:, None], sub_params[chunk_arg], best_params
+            )
+            return (best_dist, best_audio, best_params), None
 
-        (new_dist, new_audio), _ = jax.lax.scan(
-            body, (best_dist, best_audio), (params, jnp.arange(n_sub))
+        (new_dist, new_audio, new_params), _ = jax.lax.scan(
+            body, (best_dist, best_audio, best_params), (params, jnp.arange(n_sub))
         )
         improved = new_dist < best_dist
-        return new_dist, new_audio, improved
+        return new_dist, new_audio, new_params, improved
 
     def step(self, batch_num: int) -> np.ndarray:
         """Process one candidate batch; returns the per-query improvement mask."""
-        self.best_dist, self.best_audio, improved = self._chunk(
-            self.variables, self.query_emb, self.best_dist, self.best_audio, batch_num
+        self.best_dist, self.best_audio, self.best_params, improved = self._chunk(
+            self.variables,
+            self.query_emb,
+            self.best_dist,
+            self.best_audio,
+            self.best_params,
+            batch_num,
         )
         # monotone-convergence invariant (reference asserts this:
         # evaluate_audio_representations.py:238-240)
@@ -172,6 +191,7 @@ class RetrievalEvaluator:
                 z = None
             same_run = z is not None and (
                 z["best_audio"].shape == tuple(self.best_audio.shape)
+                and "best_params" in z  # pre-nn_param_mae states lack the NN params
                 and np.isclose(
                     float(z.get("fingerprint", np.nan)),
                     self.state_fingerprint,
@@ -183,6 +203,7 @@ class RetrievalEvaluator:
             if same_run:
                 self.best_dist = jnp.asarray(z["best_dist"])
                 self.best_audio = jnp.asarray(z["best_audio"])
+                self.best_params = jnp.asarray(z["best_params"])
                 history = [row.copy() for row in z["history"]]
                 start = int(z["batches_done"])
                 print(f"retrieval: resuming from {state_file} at batch {start}")
@@ -202,6 +223,7 @@ class RetrievalEvaluator:
                 tmp,
                 best_dist=np.asarray(self.best_dist),
                 best_audio=np.asarray(self.best_audio),
+                best_params=np.asarray(self.best_params),
                 history=np.stack(history),
                 batches_done=batches_done,
                 fingerprint=self.state_fingerprint,
@@ -256,7 +278,13 @@ class RetrievalEvaluator:
         return {
             "best_dist": np.asarray(self.best_dist),
             "best_audio": np.asarray(self.best_audio),
-            "query_audio": np.asarray(self.query_audio),
+            "best_params": np.asarray(self.best_params),
+            "query_params": np.asarray(self.query_params),
+            # per-query param-space MAE of the audio-space nearest neighbor —
+            # comparable across checkpoints (chance floor 1/3; see __init__)
+            "nn_param_mae": np.asarray(
+                jnp.mean(jnp.abs(self.best_params - self.query_params), axis=1)
+            ),
             "history": history_arr,
             # False when preempted mid-stream — partial results must not be
             # reported as the final metric (callers check this)

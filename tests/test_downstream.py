@@ -116,6 +116,37 @@ def test_retrieval_monotone(pretrain):
     result = ev.run(n_batches=3)
     assert np.isfinite(result["best_dist"]).all()  # all queries matched something
     assert result["best_audio"].shape == (4, ev.candidate_synth.buffer_size)
+    # the NN's params are tracked alongside its audio; MAE is bounded by the
+    # normalized param space
+    assert result["best_params"].shape == result["query_params"].shape
+    assert (result["nn_param_mae"] >= 0).all() and (result["nn_param_mae"] <= 1).all()
+
+
+@pytest.mark.slow
+def test_retrieval_nn_param_mae_exact_match(pretrain):
+    """With candidate_synth == query_synth, the candidate batch at the query's own
+    batch number reproduces the queries exactly (params are batch-keyed and the
+    candidate noise rows are position-keyed like the query's fixed buffer), so the
+    stream must retrieve them at distance ~0 with an exact param copy —
+    nn_param_mae == 0, the strongest check that best_params tracks best_audio."""
+    cfg, mesh, pre_task, pre_state = pretrain
+
+    def embed(variables, audio):
+        return pre_task.model.apply(
+            variables, audio, train=False, method=pre_task.model.embed_audio
+        )
+
+    ev = RetrievalEvaluator(
+        embed_fn=embed,
+        variables={"params": pre_state.params, "batch_stats": pre_state.batch_stats},
+        query_synth=synth_config_from_cfg(cfg, 4),
+        candidate_synth=synth_config_from_cfg(cfg, 4),
+        query_batch_num=2,
+    )
+    result = ev.run(n_batches=3)  # streams candidate batches 1, 2, 3
+    np.testing.assert_allclose(result["best_dist"], 0.0, atol=1e-3)
+    np.testing.assert_array_equal(result["best_params"], result["query_params"])
+    np.testing.assert_array_equal(result["nn_param_mae"], 0.0)
 
 
 @pytest.mark.slow
