@@ -253,7 +253,42 @@ class AudioToParamsTask:
                 pp, ta = pred_params, audio[:, 0, :]
                 if rows and rows < pp.shape[0]:
                     pp, ta = pp[:rows], ta[:rows]
-                pred_audio = self._render(pp.astype(jnp.float32), noise)
+                nz = noise[: pp.shape[0]]
+                chunk = self.cfg.audio_to_params.get("mel_chunk")
+                if chunk and chunk < pp.shape[0]:
+                    # audio_to_params.mel_chunk: EXACT full-batch alternative to
+                    # mel_rows — evaluate the term in row chunks under
+                    # jax.checkpoint, so the grad loop holds one chunk's
+                    # render/DFT residuals at a time (recomputed in the backward)
+                    # instead of the whole batch's. Rows are independent and
+                    # chunks equal-sized, so mean-of-chunk-means == the unchunked
+                    # mean, and each chunk carries its own noise rows (the buffer
+                    # is position-keyed), so rendered values are bit-identical to
+                    # the unchunked call. Single-chip memory knob: the reshape
+                    # splits the batch axis, so leave it null under a data mesh.
+                    b = pp.shape[0]
+                    if b % chunk:
+                        raise ValueError(
+                            f"mel_chunk={chunk} must divide the mel-term batch {b}"
+                        )
+                    n = b // chunk
+
+                    def body(xs):
+                        ppc, tac, nc = xs
+                        pa = self._render(ppc.astype(jnp.float32), nc)
+                        m = self.mel(jnp.stack([pa, tac]))
+                        return jnp.mean(jnp.abs(m[0] - m[1]))
+
+                    vals = jax.lax.map(
+                        jax.checkpoint(body),
+                        (
+                            pp.reshape(n, chunk, pp.shape[1]),
+                            ta.reshape(n, chunk, ta.shape[1]),
+                            nz.reshape(n, chunk, nz.shape[1]),
+                        ),
+                    )
+                    return jnp.mean(vals)
+                pred_audio = self._render(pp.astype(jnp.float32), nz)
                 # one stacked mel call: single framing + DFT matmul for both signals
                 m = self.mel(jnp.stack([pred_audio, ta]))
                 return jnp.mean(jnp.abs(m[0] - m[1]))

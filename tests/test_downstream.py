@@ -241,6 +241,58 @@ def test_mel_l1_backprop_through_synth(pretrain):
     assert losses[-1] < losses[0], losses  # gradients through the synth reduce mel L1
 
 
+def test_mel_chunk_matches_unchunked(pretrain):
+    """audio_to_params.mel_chunk evaluates the grad-through-synth mel term in
+    row chunks under jax.checkpoint (bounding residual memory at the reference's
+    batch 1024). Chunks are equal-sized and carry their own position-keyed noise
+    rows, so loss AND gradients must match the unchunked term up to reduction
+    association — the knob is exact, unlike the mel_rows subsample."""
+    _, mesh, pre_task, pre_state = pretrain
+
+    def make(overrides):
+        cfg = tiny_cfg(
+            **{
+                "audio_to_params.batch_size": 8,
+                "audio_to_params.loss": "mel_l1",
+                **overrides,
+            }
+        )
+        return AudioToParamsTask(cfg, mesh, pre_task, pre_state)
+
+    task_full = make({})
+    task_chunk = make({"audio_to_params.mel_chunk": 4})
+    state_f = task_full.init_state()
+    state_c = task_chunk.init_state()
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state_f.params),
+        jax.tree_util.tree_leaves(state_c.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    state_f, mf = task_full.train_step(state_f, 17)
+    state_c, mc = task_chunk.train_step(state_c, 17)
+    np.testing.assert_allclose(
+        float(mf["audio_to_params/train/loss"]),
+        float(mc["audio_to_params/train/loss"]),
+        rtol=1e-5,
+    )
+    # the post-update params agree ⇒ the gradients agreed
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state_f.params),
+        jax.tree_util.tree_leaves(state_c.params),
+    ):
+        # association-only deltas (mean-of-chunk-means vs global mean) pass
+        # through the LARS trust ratio; bound absolute drift after one update
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32), rtol=2e-4, atol=5e-6
+        )
+
+    # a chunk size that does not divide the batch is rejected at trace time
+    task_bad = make({"audio_to_params.mel_chunk": 3})
+    with pytest.raises(ValueError, match="mel_chunk"):
+        task_bad.train_step(task_bad.init_state(), 17)
+
+
 def test_param_mse_objective_and_baseline_floors(pretrain):
     """The direct-supervision objective trains (loss finite and decreasing over a
     repeated batch), and the test metrics carry the trivial-baseline floors: the
