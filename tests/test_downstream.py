@@ -74,6 +74,38 @@ def test_downstream_combined_loss(pretrain):
     assert np.isfinite(float(metrics2["audio_to_params/train/loss"]))
 
 
+def test_downstream_triple_objective(pretrain):
+    """Three-term combined loss (param_mse + embedding + mel_l1) composes.
+
+    The stage-H campaign objective (tools/campaign_r4e.sh): param supervision
+    anchors aggregate MAE, the embedding term shapes representation-space fit,
+    the grad-through-synth mel term drives perceptual quality. No reference
+    objective composes these (/root/reference/audio_to_params.py:229 is
+    embedding-space MSE only; the grad-through-synth experiment is commented
+    out at :56-174).
+    """
+    _, mesh, pre_task, pre_state = pretrain
+    cfg = tiny_cfg(
+        **{
+            "audio_to_params.batch_size": 8,
+            "audio_to_params.loss": "combined",
+            "audio_to_params.loss_weights.param_mse": 1.0,
+            "audio_to_params.loss_weights.embedding": 1.0,
+            "audio_to_params.loss_weights.mel_l1": 0.1,
+            "audio_to_params.mel_rows": 4,
+        }
+    )
+    task = AudioToParamsTask(cfg, mesh, pre_task, pre_state)
+    state = task.init_state()
+    state, metrics = task.train_step(state, 11)
+    loss = float(metrics["audio_to_params/train/loss"])
+    pm = float(metrics["audio_to_params/train/param_mse"])
+    emb = float(metrics["audio_to_params/train/embedding"])
+    ml = float(metrics["audio_to_params/train/mel_l1"])
+    assert np.isfinite(loss) and np.isfinite(pm) and np.isfinite(emb) and np.isfinite(ml)
+    np.testing.assert_allclose(loss, pm + emb + 0.1 * ml, rtol=1e-5)
+
+
 def test_frozen_towers_not_updated(pretrain):
     cfg, mesh, pre_task, pre_state = pretrain
     task = AudioToParamsTask(cfg, mesh, pre_task, pre_state)
