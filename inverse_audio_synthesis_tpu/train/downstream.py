@@ -153,6 +153,50 @@ class AudioToParamsTask:
         self._test_metrics = jax.jit(self._test_metrics_impl)
         self._test_full = jax.jit(self._test_full_impl)
         self._test_fused_ok: Optional[bool] = None
+        self._warn_if_frozen_embedding_collapsed(pretrain_task)
+
+    def _warn_if_frozen_embedding_collapsed(self, pretrain_task) -> None:
+        """Detect the eval-mode-BN embedding collapse at init, before training.
+
+        The `embedding` objective is MSE in the frozen projected-param-embedding
+        space; that space only carries signal if different parameter vectors map to
+        different embeddings under the BN mode in use. Measured (tools/
+        probe_frozen_bn.py): eval-mode row-MSE collapses with pretrain batch size
+        (6.7e-4 at b128 → 4.3e-8 at b1024 — LARS LR scales with batch), leaving the
+        head a degenerate ~1e-8 loss and every parameter at chance, SILENTLY. This
+        probe embeds a few random param rows through the frozen tower in the
+        configured BN mode and warns loudly when their pairwise MSE is below
+        threshold, pointing at the `frozen_bn: batch` fix
+        (conf/audio_to_params/small.yaml)."""
+        loss_kind = self.cfg.audio_to_params.get("loss", "embedding")
+        if loss_kind == "combined":
+            weights = dict(
+                self.cfg.audio_to_params.get("loss_weights")
+                or {"param_mse": 1.0, "mel_l1": 0.1}
+            )
+            if not weights.get("embedding"):
+                return
+        elif loss_kind != "embedding":
+            return
+        probe = jax.random.uniform(
+            jax.random.PRNGKey(0), (8, self.cfg.nparams), dtype=jnp.float32
+        )
+        emb = jnp.asarray(self._embed_params(self.frozen, probe), jnp.float32)
+        row_mse = float(jnp.mean((emb[:4] - emb[4:]) ** 2))
+        # collapsed checkpoints measure ≤1e-7; working ones ≥6.7e-4 (b128).
+        if row_mse < 1e-5:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "frozen projected-param-embedding row-MSE is %.3e (<1e-5): the "
+                "embedding objective has (almost) no signal — different parameter "
+                "vectors map to near-identical frozen embeddings under the current "
+                "BatchNorm mode. This is the eval-mode BN collapse seen at large "
+                "pretrain batches; set `audio_to_params.frozen_bn: batch` to use "
+                "batch-statistics BN for the frozen towers (see "
+                "tools/probe_frozen_bn.py and conf/audio_to_params/small.yaml).",
+                row_mse,
+            )
 
     def train_step(self, state: TrainState, batch_num):
         return self._train_step_jit(state, batch_num, self.frozen, self._noise)

@@ -31,6 +31,8 @@ from inverse_audio_synthesis_tpu.synth import SynthConfig
 from inverse_audio_synthesis_tpu.synth.voice import sample_voice_params
 from inverse_audio_synthesis_tpu.train.optim import make_optimizer
 
+_WARNED_RANDOM_INIT = False
+
 
 class TrainState(train_state.TrainState):
     batch_stats: Any = None
@@ -216,12 +218,18 @@ class VicregPretrainTask:
             )
             log.info("loaded pretrained vision trunk from %s", path)
         elif self.cfg.vicreg.get("pretrained_vision_model"):
-            log.warning(
-                "pretrained_vision_model=true but vicreg.vision_weights_path is unset "
-                "— the vision trunk is RANDOM-INIT. Convert torchvision weights with "
-                "`python -m inverse_audio_synthesis_tpu.models.torch_import` and set "
-                "the path."
-            )
+            # once per process: task construction happens once per CLI run but
+            # several times in bench/dryrun drivers, where the repeats drowned the
+            # signal lines in the recorded artifact tails
+            global _WARNED_RANDOM_INIT
+            if not _WARNED_RANDOM_INIT:
+                _WARNED_RANDOM_INIT = True
+                log.warning(
+                    "pretrained_vision_model=true but vicreg.vision_weights_path is "
+                    "unset — the vision trunk is RANDOM-INIT. Convert torchvision "
+                    "weights with `python -m inverse_audio_synthesis_tpu.models."
+                    "torch_import` and set the path."
+                )
         return variables
 
     # -- steps -------------------------------------------------------------------

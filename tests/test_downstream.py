@@ -396,3 +396,38 @@ def test_frozen_bn_batch_mode(pretrain):
         task_b.frozen,
         stats_before,
     )
+
+
+def test_frozen_embedding_collapse_warning(pretrain, caplog):
+    """The init-time collapse probe: a frozen state whose param tower maps every
+    input to the same embedding (all-zero weights) must trigger the loud
+    frozen-embedding-collapse warning under the embedding objective; a healthy
+    random-init state must not; objectives without an embedding term skip the
+    probe entirely."""
+    import logging
+
+    cfg, mesh, pre_task, pre_state = pretrain
+    collapsed = pre_state.replace(
+        params=jax.tree.map(jnp.zeros_like, pre_state.params)
+    )
+
+    with caplog.at_level(logging.WARNING):
+        caplog.clear()
+        AudioToParamsTask(cfg, mesh, pre_task, collapsed)
+        assert any("frozen projected-param-embedding" in r.message for r in caplog.records)
+
+        caplog.clear()
+        AudioToParamsTask(cfg, mesh, pre_task, pre_state)
+        assert not any(
+            "frozen projected-param-embedding" in r.message for r in caplog.records
+        )
+
+        # param_mse-only objective: no embedding term, no probe, even collapsed
+        caplog.clear()
+        cfg_p = tiny_cfg(
+            **{"audio_to_params.batch_size": 8, "audio_to_params.loss": "param_mse"}
+        )
+        AudioToParamsTask(cfg_p, mesh, pre_task, collapsed)
+        assert not any(
+            "frozen projected-param-embedding" in r.message for r in caplog.records
+        )

@@ -19,15 +19,16 @@ FIXTURE=tests/golden/vision_trunk_fixture.pkl
 R3=runs/campaign          # 22,510-step b128 pretrain (regenerated below if absent)
 RUN=runs/campaign_r4
 
-# ---- stage 0: regenerate the round-3 b128 pretrain checkpoint if absent
+# ---- stage 0: (re)generate the round-3 b128 pretrain checkpoint
 # (runs/ is gitignored; ~11 min on one chip — tools/campaign_r3.sh stage 1).
-if [ ! -d "$R3/checkpoints/vicreg" ]; then
-  python pretrain.py \
-    vicreg.batch_size=128 vicreg.limit_train_batches=22510 \
-    vicreg.checkpoint_every_nbatches=2000 \
-    vicreg.vision_weights_path=$FIXTURE \
-    run_dir=$R3 log_every=100 || exit $?
-fi
+# Run unconditionally: pretrain.py auto-resumes from `last` and no-ops when the
+# run is already complete, so this also repairs a partially-trained checkpoint
+# left by a preemption (a bare existence check would silently accept it).
+python pretrain.py \
+  vicreg.batch_size=128 vicreg.limit_train_batches=22510 \
+  vicreg.checkpoint_every_nbatches=2000 \
+  vicreg.vision_weights_path=$FIXTURE \
+  run_dir=$R3 log_every=100 || exit $?
 
 # ---- stage H: param_mse + embedding + 0.1*mel_l1 at b1024 (same recipe as
 # stage B's heads: 6,000 steps, cosine, dropout 0, 256-row mel term).
