@@ -67,6 +67,12 @@ def app(cfg) -> None:
         candidate_synth=synth_config_from_cfg(cfg, predict_bs),
         inner_chunk=cfg.get_dotted("retrieval.inner_chunk", 128),
     )
+    # end-to-end eval-correctness gate before streaming millions of candidates:
+    # the query params rendered through the CANDIDATE pipeline must sit at
+    # distance ~0 from the stored query embeddings (same renderer, same
+    # position-keyed noise) — aborts loudly if the two paths ever drift apart
+    evaluator.assert_planted_queries_found()
+    print("planted-query check OK (query/candidate pipelines bit-consistent)")
     result = evaluator.run(
         n_batches,
         logger=logger,

@@ -152,6 +152,43 @@ class RetrievalEvaluator:
         # evaluate_audio_representations.py:238-240)
         return np.asarray(improved)
 
+    def planted_query_distance(self) -> np.ndarray:
+        """End-to-end eval-correctness probe: render the QUERY params through the
+        CANDIDATE pipeline (same renderer, same position-keyed noise rows
+        0..n_q−1 — modules.noise keys rows identically for the query synth and a
+        candidate sub-chunk at row_offset 0) and measure the distance between the
+        stored query embeddings and these planted candidates. The inputs are
+        bit-identical by construction, so the distances must be ≈0; anything else
+        means the query and candidate paths have drifted apart (wrong noise
+        keying, renderer mismatch, embed-path divergence) and every reported NN
+        distance is suspect. Cheap (one sub-chunk render+embed); run_retrieval
+        executes it at startup and aborts loudly on failure."""
+        from dataclasses import replace as _replace
+
+        planted_synth = _replace(self._sub_synth, batch_size=self.query_params.shape[0])
+        noise = synth_modules.noise(
+            jax.random.PRNGKey(self.candidate_synth.noise_seed),
+            self.query_params.shape[0],
+            planted_synth.buffer_size,
+            row_offset=0,
+        )
+        audio = render_voice_auto(self.query_params, planted_synth, noise=noise)
+        emb = self.embed_fn(self.variables, audio[:, None, :])
+        d = cdist(
+            self.query_emb.astype(jnp.float32), emb.astype(jnp.float32)
+        )  # [n_q, n_q]
+        return np.asarray(jnp.diagonal(d))
+
+    def assert_planted_queries_found(self, atol: float = 1e-3) -> None:
+        diag = self.planted_query_distance()
+        scale = float(np.abs(np.asarray(self.query_emb, np.float32)).mean()) + 1e-9
+        if not (diag <= atol * max(1.0, scale)).all():
+            raise AssertionError(
+                f"planted-query check failed: self-distances {diag} not ~0 "
+                f"(embedding |mean| {scale:.3g}) — the query and candidate "
+                "pipelines have diverged; retrieval distances are not trustworthy"
+            )
+
     def run(
         self,
         n_batches: int,

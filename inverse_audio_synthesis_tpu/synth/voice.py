@@ -223,19 +223,63 @@ def _fused_scalars(p, midi_f0: jax.Array) -> jax.Array:
     return jnp.pad(out, ((0, 0), (0, 16 - out.shape[1])))
 
 
-def _render_voice_fused_impl(params01, noise, config: SynthConfig, interpret: bool, mesh=None):
+# -- audio-rate custom VJP boundary ------------------------------------------------
+# The custom_vjp sits at the AUDIO-RATE boundary (routed controls + packed scalars
+# + noise → audio): forward is the fused Pallas kernel, backward is the fused Pallas
+# BACKWARD kernel (ops/pallas/render.py:_bwd_kernel — one HBM pass over (noise, g),
+# reverse-time suffix-sum carry, in-VMEM phase recompute from saved carry
+# snapshots). Cotangents w.r.t. the control-rate half (ADSRs, LFOs, mod matrix —
+# compute_controls/_fused_scalars) flow through ordinary jnp autodiff: those arrays
+# are 100× smaller than audio rate, so their VJP is cheap. Through round 4 the
+# backward instead re-rendered the whole jnp path (~10× the kernel's cost).
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _fused_audio(routed, scalars, noise, sample_rate: float, interpret: bool):
     from inverse_audio_synthesis_tpu.ops.pallas.render import render_audio_fused
 
+    return render_audio_fused(routed, scalars, noise, sample_rate, interpret)
+
+
+def _fused_audio_fwd(routed, scalars, noise, sample_rate, interpret):
+    from inverse_audio_synthesis_tpu.ops.pallas.render import render_audio_fused
+
+    audio, carries = render_audio_fused(
+        routed, scalars, noise, sample_rate, interpret, save_carries=True
+    )
+    return audio, (routed, scalars, noise, carries)
+
+
+def _fused_audio_bwd(sample_rate, interpret, res, g):
+    from inverse_audio_synthesis_tpu.ops.pallas.render import render_audio_fused_bwd
+
+    routed, scalars, noise, carries = res
+    d_routed, d_scalars = render_audio_fused_bwd(
+        routed, scalars, noise, g, carries, sample_rate, interpret
+    )
+    # noise is a fixed buffer, never a differentiation target — the zero cotangent
+    # is dead at every call site and DCE'd by XLA
+    return d_routed, d_scalars, jnp.zeros_like(noise)
+
+
+_fused_audio.defvjp(_fused_audio_fwd, _fused_audio_bwd)
+
+
+def _render_voice_fused_impl(
+    params01, noise, config: SynthConfig, interpret: bool, mesh=None
+):
+    render = partial(
+        _fused_audio, sample_rate=float(config.sample_rate), interpret=interpret
+    )
     p, routed, midi_f0 = compute_controls(params01, config)
     scalars = _fused_scalars(p, midi_f0)
-    render = partial(
-        render_audio_fused, sample_rate=float(config.sample_rate), interpret=interpret
-    )
     if mesh is not None and mesh.shape.get("data", 1) > 1:
         # A raw pallas_call cannot be GSPMD-auto-partitioned; shard_map runs one
-        # kernel instance per data shard on its local batch rows. The render is
-        # embarrassingly batch-parallel — no collectives. check_vma=False because
-        # replication along the 'model' axis can't be inferred through pallas_call.
+        # kernel instance per data shard on its local batch rows (forward AND
+        # backward — the custom_vjp lives inside the shard_map body). The render
+        # is embarrassingly batch-parallel — no collectives. check_vma=False
+        # because replication along the 'model' axis can't be inferred through
+        # pallas_call.
         from jax.sharding import PartitionSpec as P
 
         render = jax.shard_map(
@@ -246,6 +290,11 @@ def _render_voice_fused_impl(params01, noise, config: SynthConfig, interpret: bo
             check_vma=False,
         )
     return render(routed, scalars, noise)
+
+
+# -- legacy params-level VJP (backward = full jnp re-render) -----------------------
+# Kept as `bwd="jnp"`: the pre-round-5 behavior, useful as an A/B reference and a
+# fallback if the backward kernel ever misbehaves on a new geometry/toolchain.
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
@@ -261,8 +310,6 @@ def _fused_fwd(params01, noise, config, interpret, mesh):
 def _fused_bwd(config, interpret, mesh, res, g):
     params01, noise = res
     _, vjp = jax.vjp(lambda q: render_voice(q, config, noise=noise), params01)
-    # noise is a fixed buffer, never a differentiation target — the zero cotangent
-    # is dead at every call site and DCE'd by XLA
     return (vjp(g)[0], jnp.zeros_like(noise))
 
 
@@ -270,12 +317,22 @@ _render_voice_fused_vjp.defvjp(_fused_fwd, _fused_bwd)
 
 
 def render_voice_fused(
-    params01, config: SynthConfig, interpret: bool = False, mesh=None, noise=None
+    params01,
+    config: SynthConfig,
+    interpret: bool = False,
+    mesh=None,
+    noise=None,
+    bwd: str = "pallas",
 ):
     """Single-HBM-pass Pallas render (see ops/pallas/render.py). Same semantics as
-    ``render_voice`` up to float association in the phase integration; differentiable
-    via the jnp path's VJP. Pass ``mesh`` to shard the kernel over the mesh's 'data'
-    axis via shard_map (multi-chip data parallelism).
+    ``render_voice`` up to float association in the phase integration. Pass ``mesh``
+    to shard the kernel over the mesh's 'data' axis via shard_map (multi-chip data
+    parallelism).
+
+    ``bwd`` selects the gradient path: "pallas" (default) runs the fused Pallas
+    backward kernel (one HBM pass; control-rate cotangents via jnp autodiff);
+    "jnp" reproduces the pre-round-5 behavior (backward re-renders the whole jnp
+    path — ~10× slower, kept for A/B and as an escape hatch).
 
     ``noise`` optionally provides the fixed-seed noise buffer (torchsynth
     pre-generates it once at Voice init — /root/reference's torchsynth dependency —
@@ -284,6 +341,7 @@ def render_voice_fused(
     it is generated in the GLOBAL program keyed by global row index, so under a
     data-sharded mesh every shard gets distinct rows (shard-local keying inside the
     shard_map body would duplicate the same noise on every shard)."""
+    assert bwd in ("pallas", "jnp"), bwd
     if noise is None:
         noise = modules.noise(
             jax.random.PRNGKey(config.noise_seed), params01.shape[0], config.buffer_size
@@ -295,6 +353,8 @@ def render_voice_fused(
             # rows are position-keyed, so the leading slice of a larger cached
             # buffer IS the buffer a b-row call would generate
             noise = noise[:b]
+    if bwd == "pallas":
+        return _render_voice_fused_impl(params01, noise, config, interpret, mesh)
     return _render_voice_fused_vjp(params01, noise, config, interpret, mesh)
 
 

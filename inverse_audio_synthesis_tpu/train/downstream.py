@@ -137,7 +137,9 @@ class AudioToParamsTask:
             if self._test_spectral_method == self._spectral_method
             else _make_mel(self._test_spectral_method)
         )
-        self._render, self._noise = make_render_fn(self.synth, mesh)
+        self._render, self._noise = make_render_fn(
+            self.synth, mesh, bwd=cfg.torchsynth.get("render_bwd", "pallas")
+        )
         self._dropout_base = jax.random.PRNGKey(cfg.seed + 2)
         # NB: the frozen tower variables AND the noise buffer are passed as
         # ARGUMENTS to the jitted steps — closing over them bakes them into the
@@ -200,6 +202,22 @@ class AudioToParamsTask:
 
     def train_step(self, state: TrainState, batch_num):
         return self._train_step_jit(state, batch_num, self.frozen, self._noise)
+
+    def _train_step_multi(self, state: TrainState, batch_nums, frozen, noise):
+        """k steps per dispatch via lax.scan (see VicregPretrainTask; the frozen
+        towers and noise buffer stay scan-invariant jit arguments)."""
+
+        def body(s, bn):
+            return self._train_step(s, bn, frozen, noise)
+
+        return jax.lax.scan(body, state, batch_nums)
+
+    def train_step_multi(self, state: TrainState, batch_nums):
+        if not hasattr(self, "_train_multi_jit"):
+            self._train_multi_jit = jax.jit(self._train_step_multi, donate_argnums=0)
+        return self._train_multi_jit(
+            state, jnp.asarray(batch_nums, jnp.int32), self.frozen, self._noise
+        )
 
     def init_state(self, key: Optional[jax.Array] = None) -> TrainState:
         key = key if key is not None else jax.random.PRNGKey(self.cfg.seed)
@@ -308,8 +326,12 @@ class AudioToParamsTask:
                     # chunks equal-sized, so mean-of-chunk-means == the unchunked
                     # mean, and each chunk carries its own noise rows (the buffer
                     # is position-keyed), so rendered values are bit-identical to
-                    # the unchunked call. Single-chip memory knob: the reshape
-                    # splits the batch axis, so leave it null under a data mesh.
+                    # the unchunked call. Under a data mesh the semantics are
+                    # GLOBAL-batch row chunks: the reshape splits the logical
+                    # batch and each chunk's render/mel runs over the mesh like
+                    # any other batch-sharded op (equivalence pinned by
+                    # tests/test_cross_mesh.py::test_downstream_step_equivalent_
+                    # across_meshes[combined_mel_chunk]).
                     b = pp.shape[0]
                     if b % chunk:
                         raise ValueError(

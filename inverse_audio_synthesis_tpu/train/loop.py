@@ -72,6 +72,7 @@ class Trainer:
         val_check_interval: Optional[int] = None,
         log_every: int = 50,
         detect_anomaly: bool = True,
+        steps_per_dispatch: int = 1,
     ):
         self.task = task
         self.split = split
@@ -82,6 +83,15 @@ class Trainer:
         self.val_check_interval = val_check_interval
         self.log_every = log_every
         self.detect_anomaly = detect_anomaly
+        # Run up to k train steps as ONE jitted program (task.train_step_multi:
+        # lax.scan over host-precomputed batch numbers). At small batch sizes the
+        # per-step cost is dominated by the host→device dispatch round trip
+        # (measured ~13 ms of the 15 ms b16 step through the TPU tunnel);
+        # dispatching k steps at once amortizes it. Dispatches are CLAMPED to the
+        # next log/val/checkpoint boundary, so cadence semantics are unchanged —
+        # preemption granularity coarsens to ≤ k steps (the guard is polled
+        # between dispatches).
+        self.steps_per_dispatch = max(1, steps_per_dispatch or 1)
         # set by fit(): the signal number that stopped training early, else None.
         # CLIs use this to skip post-training work and exit non-zero so restart
         # supervisors re-run the job instead of reading a preempted run as success.
@@ -124,8 +134,25 @@ class Trainer:
             raise KeyboardInterrupt  # stopped early by ctrl-C: preserve its semantics
         return state
 
+    def _dispatch_len(self, i: int, n_train: int, start_step: int) -> int:
+        """Steps to run in the next dispatch: ≤ steps_per_dispatch, clamped so no
+        log/val/checkpoint boundary falls strictly inside the dispatch."""
+        stops = [n_train, i + self.steps_per_dispatch]
+        if i == start_step:
+            stops.append(i + 1)  # the first step always logs
+        for m in (
+            self.log_every,
+            self.val_check_interval,
+            self.checkpoint.every_n_steps if self.checkpoint is not None else None,
+        ):
+            if m:
+                stops.append((i // m + 1) * m)  # next multiple of m after i
+        return max(1, min(stops) - i)
+
     def _fit_loop(self, state, start_step: int, n_train: int, window_start, guard):
-        for i in range(start_step, n_train):
+        multi = self.steps_per_dispatch > 1 and hasattr(self.task, "train_step_multi")
+        i = start_step
+        while i < n_train:
             if guard.requested is not None:
                 # finish-the-step-then-stop: write a resumable checkpoint and log why
                 self.interrupted = guard.requested
@@ -133,18 +160,27 @@ class Trainer:
                     self.checkpoint.save(state, i)
                 self._log({"preempted_by_signal": float(guard.requested)}, step=i)
                 return state
-            batch_num = self.split.train_batch_num(i)
-            state, metrics = self.task.train_step(state, batch_num)
+            k = self._dispatch_len(i, n_train, start_step) if multi else 1
+            if k > 1:
+                nums = [self.split.train_batch_num(j) for j in range(i, i + k)]
+                state, stacked = self.task.train_step_multi(state, nums)
+                # cadence decisions below look at the LAST step of the dispatch
+                metrics = {key: v[-1] for key, v in stacked.items()}
+            else:
+                state, metrics = self.task.train_step(
+                    state, self.split.train_batch_num(i)
+                )
+            i += k  # i = number of completed steps; boundary step index is i-1
 
-            if (i + 1) % self.log_every == 0 or i == start_step:
+            if i % self.log_every == 0 or i - k == start_step:
                 # one host fetch for every metric + the device-side anomaly counter
                 fetched = jax.device_get(
                     {**metrics, "notfinite_steps": total_notfinite(state.opt_state)}
                 )
-                metrics = {k: float(v) for k, v in fetched.items()}
+                metrics = {key: float(v) for key, v in fetched.items()}
                 metrics["notfinite_steps"] -= self._notfinite_base  # this run only
                 now = time.time()
-                steps = self.log_every if i != start_step else 1
+                steps = self.log_every if i - k != start_step else k
                 metrics["steps_per_sec"] = steps / max(now - window_start, 1e-9)
                 metrics["voices_per_sec"] = (
                     metrics["steps_per_sec"] * self.task.synth.batch_size
@@ -152,25 +188,25 @@ class Trainer:
                 window_start = now
                 if self.detect_anomaly:
                     bad = {
-                        k: v
-                        for k, v in metrics.items()
+                        key: v
+                        for key, v in metrics.items()
                         if isinstance(v, float) and not math.isfinite(v)
                     }
                     if metrics["notfinite_steps"]:
                         bad["notfinite_steps"] = metrics["notfinite_steps"]
                     if bad:
                         raise FloatingPointError(
-                            f"non-finite metrics by step {i}: {bad} (non-finite "
+                            f"non-finite metrics by step {i - 1}: {bad} (non-finite "
                             f"updates were rejected on device, not applied)"
                         )
-                self._log(metrics, step=i)
+                self._log(metrics, step=i - 1)
 
-            if self.val_check_interval and (i + 1) % self.val_check_interval == 0:
+            if self.val_check_interval and i % self.val_check_interval == 0:
                 val_metrics = self.validate(state)
-                self._log(val_metrics, step=i)
+                self._log(val_metrics, step=i - 1)
 
             if self.checkpoint is not None:
-                self.checkpoint.maybe_save(state, i + 1)
+                self.checkpoint.maybe_save(state, i)
 
         if self.checkpoint is not None:
             self.checkpoint.save(state, n_train)  # save_last

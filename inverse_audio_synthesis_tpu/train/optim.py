@@ -168,6 +168,55 @@ def fused_lars(
     return optax.GradientTransformation(init, update)
 
 
+class Fp32MasterState(NamedTuple):
+    master: Any  # fp32 master copy of the (bf16-stored) apply weights
+    inner_state: Any
+
+
+def with_fp32_master(inner: optax.GradientTransformation) -> optax.GradientTransformation:
+    """Maintain an fp32 master copy of bf16-STORED weights (cfg.weights_bf16).
+
+    Under mixed precision the towers compute in bf16 but flax stores weights in
+    fp32 (param_dtype), so every forward+backward READS the full fp32 weight
+    bytes — the dominant HBM term of the byte-saturated b128 VICReg step
+    (docs/roofline_b128_r4.md names bf16 weight storage as the one untried
+    lever). Storing the apply weights in bf16 halves that traffic; this wrapper
+    keeps optimizer math exact by holding the fp32 master in the optimizer
+    state:
+
+        inner tx runs on (grads, MASTER fp32 weights) → master update
+        emitted update = f32(bf16(new_master)) − f32(params): optax.apply_updates
+        adds it to the bf16 params in f32 then casts back, so the stored params
+        land on exactly bf16(new_master) (up to one trailing-ulp at rounding
+        boundaries)
+
+    The master never loses precision to the bf16 round trip; what training sees
+    through the forward pass is bf16(master) — the same quantization the bf16
+    compute path already applies to activations."""
+
+    def init(params):
+        # copy=True: for already-fp32 leaves (1-D biases/BN) a plain astype is a
+        # no-op that ALIASES the param buffer — the state then donates the same
+        # buffer twice in the jitted step ("Attempt to donate the same buffer")
+        master = jax.tree_util.tree_map(
+            lambda p: jnp.array(p, dtype=jnp.float32, copy=True), params
+        )
+        return Fp32MasterState(master, inner.init(master))
+
+    def update(updates, state, params=None):
+        upd, inner_state = inner.update(updates, state.inner_state, state.master)
+        new_master = optax.apply_updates(state.master, upd)
+        emitted = jax.tree_util.tree_map(
+            lambda nm, p: nm.astype(p.dtype).astype(jnp.float32)
+            - p.astype(jnp.float32),
+            new_master,
+            params,
+        )
+        return emitted, Fp32MasterState(new_master, inner_state)
+
+    return optax.GradientTransformation(init, update)
+
+
 def make_schedule(scheduler_cfg: Any, peak_lr: float):
     """Returns an optax schedule (callable) or the constant peak_lr.
 

@@ -51,7 +51,7 @@ def maybe_bf16_grads(cfg, grads):
     return grads
 
 
-def make_render_fn(synth_cfg: SynthConfig, mesh):
+def make_render_fn(synth_cfg: SynthConfig, mesh, bwd: str = "pallas"):
     """Returns ``(render, noise_buf)`` for this mesh: ``render(params01, noise)`` is
     the fused Pallas kernel on TPU (shard_mapped over the 'data' axis when the mesh
     has >1 data shard, with noise rows keyed by global row index); otherwise the jnp
@@ -98,8 +98,13 @@ def make_render_fn(synth_cfg: SynthConfig, mesh):
             ", shard_map" if data_shards > 1 else "",
         )
         shard_mesh = mesh if data_shards > 1 else None
+        # bwd="pallas" (default): gradient via the fused Pallas backward kernel;
+        # "jnp" = the pre-round-5 full-re-render VJP escape hatch
+        # (cfg.torchsynth.render_bwd)
         return (
-            lambda p, noise: render_voice_fused(p, synth_cfg, False, shard_mesh, noise),
+            lambda p, noise: render_voice_fused(
+                p, synth_cfg, False, shard_mesh, noise, bwd=bwd
+            ),
             noise_buf,
         )
     log.info(
@@ -168,16 +173,45 @@ class VicregPretrainTask:
         self.tx, self.schedule = make_optimizer(
             cfg.vicreg.optim, cfg.vicreg.batch_size, cfg.vicreg.get("scheduler")
         )
+        # cfg.weights_bf16: store the apply weights in bf16 (halving the dominant
+        # weight-read HBM traffic of the byte-saturated step) with an fp32 master
+        # copy inside the optimizer state (train/optim.with_fp32_master)
+        self._weights_bf16 = bool(cfg.get("weights_bf16", False))
+        if self._weights_bf16:
+            from inverse_audio_synthesis_tpu.train.optim import with_fp32_master
+
+            self.tx = with_fp32_master(self.tx)
         # noise buffer rides the jit boundary as an ARGUMENT (make_render_fn's
         # docstring: a closure would bake it into the HLO as a 722 MB literal at
         # the reference's b1024)
-        self._render, self._noise = make_render_fn(self.synth, mesh)
+        self._render, self._noise = make_render_fn(
+            self.synth, mesh, bwd=cfg.torchsynth.get("render_bwd", "pallas")
+        )
         self._dropout_base = jax.random.PRNGKey(cfg.seed + 1)
         self._train_step_jit = jax.jit(self._train_step, donate_argnums=0)
+        self._train_multi_jit = jax.jit(self._train_step_multi, donate_argnums=0)
         self._val_step_jit = jax.jit(self._eval_step)
 
     def train_step(self, state: TrainState, batch_num):
         return self._train_step_jit(state, batch_num, self._noise)
+
+    def _train_step_multi(self, state: TrainState, batch_nums, noise):
+        """k train steps as ONE program (lax.scan over batch numbers; metrics
+        stacked [k]). At the reference's b16 operating point
+        (conf/vicreg/full.yaml:6) a single step is ~15 ms of which ~2 ms is
+        compute — the rest is the per-dispatch host round trip through the TPU
+        tunnel; scanning k steps per dispatch amortizes that floor
+        (cfg.steps_per_dispatch, train/loop.py)."""
+
+        def body(s, bn):
+            return self._train_step(s, bn, noise)
+
+        return jax.lax.scan(body, state, batch_nums)
+
+    def train_step_multi(self, state: TrainState, batch_nums):
+        return self._train_multi_jit(
+            state, jnp.asarray(batch_nums, jnp.int32), self._noise
+        )
 
     def val_step(self, state: TrainState, batch_num):
         return self._val_step_jit(state, batch_num, self._noise)
@@ -189,9 +223,16 @@ class VicregPretrainTask:
         params01 = jnp.zeros((2, self.cfg.nparams), jnp.float32)
         variables = jax.jit(partial(self.model.init, train=False))(key, audio, params01)
         variables = self._maybe_load_vision_weights(variables)
+        params = variables["params"]
+        if self._weights_bf16:
+            # bf16 storage for ≥2-D weights; 1-D leaves (biases, BN scale/bias)
+            # stay fp32 — negligible bytes, and BN statistics are fp32-sensitive
+            params = jax.tree_util.tree_map(
+                lambda p: p.astype(jnp.bfloat16) if p.ndim >= 2 else p, params
+            )
         state = TrainState.create(
             apply_fn=self.model.apply,
-            params=variables["params"],
+            params=params,
             tx=self.tx,
             batch_stats=variables.get("batch_stats", {}),
         )

@@ -70,6 +70,7 @@ def app(cfg) -> None:
         limit_val_batches=cfg.vicreg.get("limit_val_batches"),
         val_check_interval=cfg.vicreg.get("val_check_interval"),
         log_every=cfg.get("log_every", 50),
+        steps_per_dispatch=cfg.get("steps_per_dispatch", 1),
     )
     # PQMF filter-range diagnostic on a real clip (working version of the
     # reference's dead plot_filter_range, pretrain.py:29-48). The clip is vendored

@@ -431,3 +431,34 @@ def test_frozen_embedding_collapse_warning(pretrain, caplog):
         assert not any(
             "frozen projected-param-embedding" in r.message for r in caplog.records
         )
+
+
+def test_retrieval_planted_query_check(pretrain):
+    """Planted-query sanity: the query params pushed through the CANDIDATE
+    pipeline must land at distance ≈0 from the stored query embeddings; a
+    perturbed noise keying (wrong row_offset) must be caught."""
+    from inverse_audio_synthesis_tpu.eval.retrieval import RetrievalEvaluator
+
+    cfg, mesh, pre_task, pre_state = pretrain
+    variables = {"params": pre_state.params, "batch_stats": pre_state.batch_stats}
+
+    def embed(variables, audio):
+        return pre_task.model.apply(
+            variables, audio, train=False, method=pre_task.model.embed_audio
+        )
+
+    ev = RetrievalEvaluator(
+        embed_fn=embed,
+        variables=variables,
+        query_synth=synth_config_from_cfg(cfg, 4),
+        candidate_synth=synth_config_from_cfg(cfg, 8),
+        inner_chunk=4,
+    )
+    diag = ev.planted_query_distance()
+    assert (diag < 1e-4).all(), diag
+    ev.assert_planted_queries_found()
+
+    # negative control: corrupt the stored query embedding -> check must fail
+    ev.query_emb = ev.query_emb + 1.0
+    with pytest.raises(AssertionError):
+        ev.assert_planted_queries_found()

@@ -141,3 +141,96 @@ def test_summary_counts(tiny_task):
     total = param_count(state.params)
     assert f"{total:,}" in text
     assert "projector" in text
+
+
+def test_steps_per_dispatch_parity(tmp_path, tiny_task):
+    """steps_per_dispatch > 1 (lax.scan over batch numbers) must reproduce the
+    one-step-per-dispatch run: same final parameters, same logged train metrics
+    at the same steps, same checkpoint cadence, and dispatches clamped so no
+    log/ckpt boundary falls inside a dispatch."""
+    import jax
+
+    task = tiny_task
+    split = BatchNumberSplit(num_batches=100, ntest_batches=1, seed=42)
+
+    def run(spd, tag):
+        state = task.init_state()
+        logger = MetricsLogger(run_dir=str(tmp_path), run_name=tag)
+        ckpt = CheckpointManager(str(tmp_path / f"ck_{tag}"), every_n_steps=4, keep=2)
+        trainer = Trainer(
+            task,
+            split,
+            logger=logger,
+            checkpoint=ckpt,
+            limit_train_batches=8,
+            log_every=2,
+            steps_per_dispatch=spd,
+        )
+        state = trainer.fit(state)
+        logger.finish()
+        lines = [json.loads(l) for l in open(tmp_path / tag / "metrics.jsonl")]
+        return state, [l for l in lines if "vicreg/train/loss" in l], ckpt
+
+    s1, logs1, ck1 = run(1, "spd1")
+    s4, logs4, ck4 = run(4, "spd4")
+
+    # identical logged steps and (numerically close) metric values
+    assert [l["step"] for l in logs1] == [l["step"] for l in logs4]
+    for a, b in zip(logs1, logs4):
+        np.testing.assert_allclose(
+            a["vicreg/train/loss"], b["vicreg/train/loss"], rtol=1e-4
+        )
+    # same checkpoint cadence
+    assert ck1.latest_step() == ck4.latest_step() == 8
+
+    # same final parameters (scan body is the same jitted step program)
+    flat1 = jax.tree_util.tree_leaves(s1.params)
+    flat4 = jax.tree_util.tree_leaves(s4.params)
+    for a, b in zip(flat1, flat4):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-6)
+
+
+def test_train_step_multi_matches_sequential(tiny_task):
+    """task.train_step_multi == sequential train_step calls.
+
+    ONE-step comparison pins the contract tightly (same math, association-only
+    differences between the scan body and the stand-alone program); the 3-step
+    comparison checks only the loss loosely — per-step association deltas
+    compound through BatchNorm statistics (measured 5.7e-4 rel by step 3), so a
+    tight multi-step param comparison would test fp reassociation, not the
+    dispatch mechanism."""
+    import jax
+
+    from test_cross_mesh import assert_params_equivalent
+
+    task = tiny_task
+
+    # one step: scan-of-1 vs single dispatch, update-relative param comparison
+    s0 = task.init_state()
+    init_params = jax.device_get(s0.params)
+    s_one_seq, m_one = task.train_step(s0, 11)
+    s_one_multi, stacked_one = task.train_step_multi(task.init_state(), [11])
+    np.testing.assert_allclose(
+        float(stacked_one["vicreg/train/loss"][0]),
+        float(m_one["vicreg/train/loss"]),
+        rtol=1e-4,
+    )
+    assert_params_equivalent(
+        jax.device_get(s_one_seq.params),
+        jax.device_get(s_one_multi.params),
+        init_params,
+        label="steps_per_dispatch(k=1)",
+    )
+
+    # three steps: step count + loss trajectory
+    nums = [11, 12, 13]
+    s_seq = task.init_state()
+    for n in nums:
+        s_seq, m_last = task.train_step(s_seq, n)
+    s_multi, stacked = task.train_step_multi(task.init_state(), nums)
+    assert int(s_multi.step) == int(s_seq.step)
+    np.testing.assert_allclose(
+        float(stacked["vicreg/train/loss"][-1]),
+        float(m_last["vicreg/train/loss"]),
+        rtol=3e-3,
+    )

@@ -107,3 +107,57 @@ def test_bf16_train_step():
 
     for leaf in jax.tree_util.tree_leaves(state.params):
         assert leaf.dtype == np.float32
+
+
+def test_weights_bf16_master_storage():
+    """cfg.weights_bf16: >=2-D weights stored bf16, fp32 master in the optimizer
+    state; training stays finite; the stored params track bf16(master) exactly;
+    and the loss trajectory stays close to the fp32-storage run."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from inverse_audio_synthesis_tpu.parallel.mesh import create_mesh
+    from inverse_audio_synthesis_tpu.train.optim import Fp32MasterState
+    from inverse_audio_synthesis_tpu.train.pretrain import VicregPretrainTask
+    from inverse_audio_synthesis_tpu.utils.config import load_config
+
+    from test_train import tiny_cfg
+
+    import jax as _jax
+
+    mesh = create_mesh(data=1, model=1, devices=_jax.devices()[:1])
+    cfg_b = tiny_cfg(**{"precision": "bf16", "weights_bf16": True})
+    cfg_f = tiny_cfg(**{"precision": "bf16"})
+    task_b = VicregPretrainTask(cfg_b, mesh)
+    task_f = VicregPretrainTask(cfg_f, mesh)
+    sb = task_b.init_state(jax.random.PRNGKey(0))
+    sf = task_f.init_state(jax.random.PRNGKey(0))
+
+    # storage dtypes
+    for p in jax.tree_util.tree_leaves(sb.params):
+        assert p.dtype == (jnp.bfloat16 if p.ndim >= 2 else jnp.float32), p.dtype
+    # master exists and is fp32
+    ms = sb.opt_state
+    assert isinstance(ms, Fp32MasterState)
+    for m in jax.tree_util.tree_leaves(ms.master):
+        assert m.dtype == jnp.float32
+
+    losses_b, losses_f = [], []
+    for i in range(3):
+        sb, mb = task_b.train_step(sb, 10 + i)
+        sf, mf = task_f.train_step(sf, 10 + i)
+        losses_b.append(float(mb["vicreg/train/loss"]))
+        losses_f.append(float(mf["vicreg/train/loss"]))
+    assert np.isfinite(losses_b).all()
+    # params == bf16(master) after updates (up to one trailing ulp)
+    for p, m in zip(
+        jax.tree_util.tree_leaves(sb.params),
+        jax.tree_util.tree_leaves(sb.opt_state.master),
+    ):
+        if p.ndim >= 2:
+            a = np.asarray(p, np.float32)
+            b = np.asarray(m.astype(jnp.bfloat16), np.float32)
+            assert np.abs(a - b).max() <= np.abs(b).max() * 2 ** -7
+    # loss curves track within bf16-quantization scale
+    np.testing.assert_allclose(losses_b, losses_f, rtol=0.05)

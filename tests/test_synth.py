@@ -296,3 +296,65 @@ def test_from_0to1_grad_finite_at_zero():
     spec = next(s for s in VOICE_PARAM_SPECS if s.curve == 0.5 and not s.symmetric)
     g = jax.grad(lambda x: from_0to1(spec, x))(jnp.float32(0.0))
     assert np.isfinite(float(g))
+
+
+def test_torchsynth_parity_probes_consistent():
+    """The committed parity probes (tools/torchsynth_parity.py export) must stay
+    in sync with the live synth: same registration table, same params01 →
+    natural mapping, same rendered audio (f16-quantized) for the batch0 probe."""
+    import json
+    from pathlib import Path
+
+    import numpy as np
+
+    from inverse_audio_synthesis_tpu.synth import SynthConfig
+    from inverse_audio_synthesis_tpu.synth.parameter import from_0to1
+    from inverse_audio_synthesis_tpu.synth.voice import (
+        VOICE_PARAM_SPECS,
+        render_voice,
+        sample_voice_params,
+    )
+
+    probes = Path(__file__).parent / "golden" / "torchsynth_probes"
+    reg = json.loads((probes / "registration.json").read_text())
+    assert reg["nparams"] == len(VOICE_PARAM_SPECS)
+    for spec, row in zip(VOICE_PARAM_SPECS, reg["specs"]):
+        assert (spec.module, spec.name) == (row["module"], row["name"])
+        assert (spec.minimum, spec.maximum, spec.curve, spec.symmetric) == (
+            row["minimum"], row["maximum"], row["curve"], row["symmetric"],
+        )
+
+    d = np.load(probes / "probe_batch0.npz")
+    cfg = SynthConfig(
+        batch_size=d["params01"].shape[0],
+        sample_rate=reg["sample_rate"],
+        buffer_size_seconds=reg["buffer_size_seconds"],
+    )
+    params01 = sample_voice_params(0, cfg)
+    np.testing.assert_allclose(np.asarray(params01), d["params01"], atol=1e-7)
+    nat = np.stack(
+        [
+            np.asarray(from_0to1(s, params01[:, i]))
+            for i, s in enumerate(VOICE_PARAM_SPECS)
+        ],
+        axis=1,
+    )
+    np.testing.assert_allclose(nat, d["natural"], rtol=1e-5, atol=1e-5)
+    audio = np.asarray(render_voice(params01, cfg))
+    assert np.abs(audio.astype(np.float16).astype(np.float32) - d["audio"]).max() < 2e-3
+
+
+def test_torchsynth_parity_log_mel():
+    """The compare half's numpy log-mel (no torchaudio in a compare env) is
+    sane: zero distance to itself, sensitive to different audio."""
+    import numpy as np
+
+    from tools.torchsynth_parity import _log_mel
+
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal((2, 44100)).astype(np.float32)
+    b = rng.standard_normal((2, 44100)).astype(np.float32)
+    ma, mb = _log_mel(a, 44100), _log_mel(b, 44100)
+    assert np.isfinite(ma).all()
+    assert np.abs(ma - _log_mel(a, 44100)).max() == 0.0
+    assert np.abs(ma - mb).mean() > 0.01
