@@ -139,8 +139,11 @@ def _kernel(
     scal_ref,  # [Bt, 16] per-voice scalars (VMEM)
     noise_ref,  # [Bt, S, R] noise block
     out_ref,  # [Bt, S, R] audio block
-    *rest,  # (carry_out_ref?, carry_ref): optional [Bt, 1, 128] per-block carry
-    #         snapshot output (consumed by the backward kernel), then the scratch
+    *rest,  # (carry_out_ref?, carry_ref): optional [Bt, 1, 1, 128] per-block carry
+    #         snapshot output (consumed by the backward kernel), then the scratch.
+    #         4-D so Mosaic's trailing-dims block rule sees (1, 128): a 3-D
+    #         (Bt, 1, 128) block over (B, nT, 128) is rejected on real TPUs
+    #         (second-to-last block dim must divide 8 or equal the array dim).
     seg_per_block: int,
     ratio: int,
     sample_rate: float,
@@ -161,7 +164,7 @@ def _kernel(
     if save_carries:
         # snapshot the carry-IN of this block (after the t==0 reset): the backward
         # kernel re-integrates each block's phase independently from these
-        carry_out_ref[:, 0, :] = carry_ref[:, :]
+        carry_out_ref[:, 0, 0, :] = carry_ref[:, :]
 
     w, use_prev = _interp_weights(r)
     window = window_ref[:, 0]  # [Bt, 5, S+2]
@@ -261,7 +264,7 @@ def render_audio_fused(
     save_carries: bool = False,
 ):
     """Audio-rate render: returns [B, Ta] (with ``save_carries``, also the per-block
-    phase-carry snapshots [Bp, nT, 128] the backward kernel consumes)."""
+    phase-carry snapshots [Bp, nT, 1, 128] the backward kernel consumes)."""
     b, five, tc = routed.shape
     assert five == 5
     ta = noise.shape[-1]
@@ -295,10 +298,14 @@ def render_audio_fused(
         )
     ]
     if save_carries:
-        out_shapes.append(jax.ShapeDtypeStruct((bp, n_time_blocks, 128), jnp.float32))
+        out_shapes.append(
+            jax.ShapeDtypeStruct((bp, n_time_blocks, 1, 128), jnp.float32)
+        )
         out_specs.append(
             pl.BlockSpec(
-                (BATCH_TILE, 1, 128), lambda i, t: (i, t, 0), memory_space=pltpu.VMEM
+                (BATCH_TILE, 1, 1, 128),
+                lambda i, t: (i, t, 0, 0),
+                memory_space=pltpu.VMEM,
             )
         )
     out = pl.pallas_call(
@@ -333,7 +340,7 @@ def _bwd_kernel(
     scal_ref,  # [Bt, 16] per-voice scalars
     noise_ref,  # [Bt, S, R] noise block
     g_ref,  # [Bt, S, R] audio cotangent block
-    carry_in_ref,  # [Bt, 1, 128] forward carry-in snapshot for this block
+    carry_in_ref,  # [Bt, 1, 1, 128] forward carry-in snapshot for this block
     dwin_ref,  # [Bt, 1, 16, S] out: window cotangents, rows sig*3+{prev,left,next}
     dscal_ref,  # [Bt, 16] out: scalar cotangents (accumulated across time blocks)
     bcarry_ref,  # scratch [Bt, 128]: suffix-sum phase-cotangent carry (slots 0/1)
@@ -374,7 +381,10 @@ def _bwd_kernel(
         dscal_ref[:, i] = dscal_ref[:, i] + val
 
     def rsum(x):  # [Bt, S, R] → [Bt]
-        return jnp.sum(x, axis=(1, 2))
+        # two single-axis reductions: Mosaic's layout inference SIGABRTs on a
+        # one-shot multi-axis reduce from rank 3 (layout.h rank check, measured
+        # on v5e); sequential reduces lower fine and cost the same
+        return jnp.sum(jnp.sum(x, axis=2), axis=1)
 
     # inclusive suffix within a segment: (x @ tril)[j] = Σ_{j'≥j} x[j']
     tril_r = jnp.tril(jnp.ones((r, r), jnp.float32))
@@ -401,7 +411,7 @@ def _bwd_kernel(
 
     # --- VCO 1: sine ---------------------------------------------------------
     u0 = up(0)
-    carry0 = carry_in_ref[:, 0, 0]
+    carry0 = carry_in_ref[:, 0, 0, 0]
     phase1_raw, dphi1, pre1, _ = _integrate_block(
         u0, col(0), col(1), carry0, s=s, r=r, bt=bt, sample_rate=sample_rate
     )
@@ -420,7 +430,7 @@ def _bwd_kernel(
 
     # --- VCO 2: square↔saw morph --------------------------------------------
     u2 = up(2)
-    carry1 = carry_in_ref[:, 0, 1]
+    carry1 = carry_in_ref[:, 0, 0, 1]
     phase2_raw, dphi2, pre2, _ = _integrate_block(
         u2, col(3), col(4), carry1, s=s, r=r, bt=bt, sample_rate=sample_rate
     )
@@ -473,7 +483,7 @@ def render_audio_fused_bwd(
     scalars: jax.Array,  # [B, 16]
     noise: jax.Array,  # [B, Ta]
     g: jax.Array,  # [B, Ta] audio cotangent
-    carries: jax.Array,  # [Bp_fwd, nT, 128] forward carry snapshots
+    carries: jax.Array,  # [Bp_fwd, nT, 1, 128] forward carry snapshots
     sample_rate: float,
     interpret: bool = False,
 ):
@@ -532,8 +542,8 @@ def render_audio_fused_bwd(
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (BWD_BATCH_TILE, 1, 128),
-                lambda i, t: (i, nt - 1 - t, 0),
+                (BWD_BATCH_TILE, 1, 1, 128),
+                lambda i, t: (i, nt - 1 - t, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
