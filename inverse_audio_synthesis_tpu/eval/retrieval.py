@@ -177,15 +177,28 @@ class RetrievalEvaluator:
         d = cdist(
             self.query_emb.astype(jnp.float32), emb.astype(jnp.float32)
         )  # [n_q, n_q]
-        return np.asarray(jnp.diagonal(d))
+        return np.asarray(jnp.diagonal(d)), np.asarray(d)
 
-    def assert_planted_queries_found(self, atol: float = 1e-3) -> None:
-        diag = self.planted_query_distance()
-        scale = float(np.abs(np.asarray(self.query_emb, np.float32)).mean()) + 1e-9
-        if not (diag <= atol * max(1.0, scale)).all():
+    def assert_planted_queries_found(self, rtol: float = 0.05) -> None:
+        """Self-distances must be far below the inter-query distance scale.
+
+        NOT bit-identity: the stored query embeddings and the planted render
+        come from two different XLA programs, and on TPU the bf16 tower matmuls
+        round differently per program — measured self-distance ~0.04 against
+        inter-sound distances ~8–16 (0.2% of the embedding norm, exactly bf16
+        epsilon scale). A real pipeline divergence (wrong noise keying, renderer
+        or embed drift) puts the planted candidates at generic inter-sound
+        distance, ~20× this gate."""
+        diag, d = self.planted_query_distance()
+        off = d[~np.eye(d.shape[0], dtype=bool)]
+        # median off-diagonal = the typical distance between DIFFERENT sounds;
+        # floor it at 1e-6 so a degenerate collapsed-embedding eval still passes
+        # its own self-match (everything at one point ⇒ diag is also ~0)
+        scale = max(float(np.median(off)), 1e-6)
+        if not (diag <= rtol * scale).all():
             raise AssertionError(
-                f"planted-query check failed: self-distances {diag} not ~0 "
-                f"(embedding |mean| {scale:.3g}) — the query and candidate "
+                f"planted-query check failed: self-distances {diag} not ≪ the "
+                f"inter-query distance scale {scale:.3g} — the query and candidate "
                 "pipelines have diverged; retrieval distances are not trustworthy"
             )
 
