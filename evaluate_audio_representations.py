@@ -72,7 +72,7 @@ def app(cfg) -> None:
     # distance ~0 from the stored query embeddings (same renderer, same
     # position-keyed noise) — aborts loudly if the two paths ever drift apart
     evaluator.assert_planted_queries_found()
-    print("planted-query check OK (query/candidate pipelines bit-consistent)")
+    print("planted-query check OK (query/candidate pipelines consistent)")
     result = evaluator.run(
         n_batches,
         logger=logger,
