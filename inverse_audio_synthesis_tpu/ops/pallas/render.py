@@ -139,11 +139,14 @@ def _kernel(
     scal_ref,  # [Bt, 16] per-voice scalars (VMEM)
     noise_ref,  # [Bt, S, R] noise block
     out_ref,  # [Bt, S, R] audio block
-    *rest,  # (carry_out_ref?, carry_ref): optional [Bt, 1, 1, 128] per-block carry
+    *rest,  # (carry_out_ref?, carry_ref): optional [Bt, nT, 128] per-block carry
     #         snapshot output (consumed by the backward kernel), then the scratch.
-    #         4-D so Mosaic's trailing-dims block rule sees (1, 128): a 3-D
-    #         (Bt, 1, 128) block over (B, nT, 128) is rejected on real TPUs
-    #         (second-to-last block dim must divide 8 or equal the array dim).
+    #         The snapshot block is RESIDENT (index map constant in t, one
+    #         writeback per batch tile, stored by dynamic sublane index): a
+    #         per-step 3-D (·, 1, 128) block over (B, nT, 128) violates
+    #         Mosaic's trailing-dims block rule on real TPUs, and the resident
+    #         form needs no 4-D workaround (timing-equivalent; measured
+    #         head-to-head at b128).
     seg_per_block: int,
     ratio: int,
     sample_rate: float,
@@ -164,7 +167,7 @@ def _kernel(
     if save_carries:
         # snapshot the carry-IN of this block (after the t==0 reset): the backward
         # kernel re-integrates each block's phase independently from these
-        carry_out_ref[:, 0, 0, :] = carry_ref[:, :]
+        carry_out_ref[:, t_idx, :] = carry_ref[:, :]
 
     w, use_prev = _interp_weights(r)
     window = window_ref[:, 0]  # [Bt, 5, S+2]
@@ -264,7 +267,7 @@ def render_audio_fused(
     save_carries: bool = False,
 ):
     """Audio-rate render: returns [B, Ta] (with ``save_carries``, also the per-block
-    phase-carry snapshots [Bp, nT, 1, 128] the backward kernel consumes)."""
+    phase-carry snapshots [Bp, nT, 128] the backward kernel consumes)."""
     b, five, tc = routed.shape
     assert five == 5
     ta = noise.shape[-1]
@@ -298,13 +301,11 @@ def render_audio_fused(
         )
     ]
     if save_carries:
-        out_shapes.append(
-            jax.ShapeDtypeStruct((bp, n_time_blocks, 1, 128), jnp.float32)
-        )
+        out_shapes.append(jax.ShapeDtypeStruct((bp, n_time_blocks, 128), jnp.float32))
         out_specs.append(
             pl.BlockSpec(
-                (BATCH_TILE, 1, 1, 128),
-                lambda i, t: (i, t, 0, 0),
+                (BATCH_TILE, n_time_blocks, 128),
+                lambda i, t: (i, 0, 0),
                 memory_space=pltpu.VMEM,
             )
         )
@@ -340,7 +341,8 @@ def _bwd_kernel(
     scal_ref,  # [Bt, 16] per-voice scalars
     noise_ref,  # [Bt, S, R] noise block
     g_ref,  # [Bt, S, R] audio cotangent block
-    carry_in_ref,  # [Bt, 1, 1, 128] forward carry-in snapshot for this block
+    carry_in_ref,  # [Bt, nT, 128] forward carry-in snapshots (resident; indexed
+    #               by this step's time block — see the forward's snapshot note)
     dwin_ref,  # [Bt, 1, 16, S] out: window cotangents, rows sig*3+{prev,left,next}
     dscal_ref,  # [Bt, 16] out: scalar cotangents (accumulated across time blocks)
     bcarry_ref,  # scratch [Bt, 128]: suffix-sum phase-cotangent carry (slots 0/1)
@@ -408,10 +410,13 @@ def _bwd_kernel(
 
     g = g_ref[:, :, :]
     d_u = [None] * 5
+    # this grid step's time block (the index maps flip t); one dynamic sublane
+    # read off the resident snapshot block, then static lane picks
+    crow = carry_in_ref[:, pl.num_programs(1) - 1 - t_idx, :]
 
     # --- VCO 1: sine ---------------------------------------------------------
     u0 = up(0)
-    carry0 = carry_in_ref[:, 0, 0, 0]
+    carry0 = crow[:, 0]
     phase1_raw, dphi1, pre1, _ = _integrate_block(
         u0, col(0), col(1), carry0, s=s, r=r, bt=bt, sample_rate=sample_rate
     )
@@ -430,7 +435,7 @@ def _bwd_kernel(
 
     # --- VCO 2: square↔saw morph --------------------------------------------
     u2 = up(2)
-    carry1 = carry_in_ref[:, 0, 0, 1]
+    carry1 = crow[:, 1]
     phase2_raw, dphi2, pre2, _ = _integrate_block(
         u2, col(3), col(4), carry1, s=s, r=r, bt=bt, sample_rate=sample_rate
     )
@@ -483,7 +488,7 @@ def render_audio_fused_bwd(
     scalars: jax.Array,  # [B, 16]
     noise: jax.Array,  # [B, Ta]
     g: jax.Array,  # [B, Ta] audio cotangent
-    carries: jax.Array,  # [Bp_fwd, nT, 1, 128] forward carry snapshots
+    carries: jax.Array,  # [Bp_fwd, nT, 128] forward carry snapshots
     sample_rate: float,
     interpret: bool = False,
 ):
@@ -542,8 +547,8 @@ def render_audio_fused_bwd(
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (BWD_BATCH_TILE, 1, 1, 128),
-                lambda i, t: (i, nt - 1 - t, 0, 0),
+                (BWD_BATCH_TILE, nt, 128),
+                lambda i, t: (i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
